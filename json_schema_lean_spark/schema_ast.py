@@ -1,0 +1,290 @@
+"""Schema keyword AST + lenient parser.
+
+Semantic parity target: /root/reference/JsonSchema/Schema.lean:59-354
+(``SchemaObject`` keyword fields; ``schemaFromJson`` lenient extraction).
+
+Lenient rules reproduced from the reference:
+
+- boolean schemas are first-class (``True`` accepts all, ``False`` rejects all);
+- ANY other JSON value parses as an object schema — a non-object (number,
+  string, ...) yields an all-absent keyword set that accepts everything;
+- absent or malformed ``type`` becomes ``["any"]``; a ``type`` array with an
+  unknown name fails the parse (reference: ``fromJson?`` errors propagate);
+- unknown keywords are ignored (only known fields are extracted);
+- bounds parse to float, counts to non-negative int, ``uniqueItems`` defaults
+  to ``False``.
+
+Extensions beyond the reference (SURVEY.md §7.0): Draft 2020-12 spellings
+``$defs``/``prefixItems``/``dependentRequired``/``dependentSchemas`` are
+accepted as aliases onto the Draft 7 structures.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Union
+
+JSON_TYPES = {"string", "number", "integer", "boolean", "object", "array", "null", "any"}
+
+#: sentinel distinguishing "const absent" from "const: null"
+ABSENT = object()
+
+
+class SchemaParseError(ValueError):
+    """Raised when a known keyword has a malformed value the reference rejects."""
+
+
+@dataclass
+class ItemsSchema:
+    """Draft 7 dual-form items: single subschema or positional tuple."""
+
+    single: Optional["Schema"] = None
+    tuple_items: Optional[list["Schema"]] = None
+
+    @property
+    def is_tuple(self) -> bool:
+        return self.tuple_items is not None
+
+
+@dataclass
+class Dependency:
+    """dependencies value: either a property list or a subschema."""
+
+    required_props: Optional[list[str]] = None
+    schema: Optional["Schema"] = None
+
+
+@dataclass
+class SchemaObject:
+    id: Optional[str] = None
+    ref: Optional[str] = None
+    types: list[str] = field(default_factory=lambda: ["any"])
+    const: Any = ABSENT
+    enum: Optional[list[Any]] = None
+    max_length: Optional[int] = None
+    min_length: Optional[int] = None
+    pattern: Optional[str] = None
+    maximum: Optional[float] = None
+    minimum: Optional[float] = None
+    exclusive_maximum: Optional[float] = None
+    exclusive_minimum: Optional[float] = None
+    multiple_of: Optional[float] = None
+    unique_items: bool = False
+    required: Optional[list[str]] = None
+    properties: Optional[list[tuple[str, "Schema"]]] = None
+    pattern_properties: Optional[list[tuple[str, "Schema"]]] = None
+    property_names: Optional["Schema"] = None
+    additional_properties: Optional["Schema"] = None
+    max_properties: Optional[int] = None
+    min_properties: Optional[int] = None
+    dependencies: Optional[list[tuple[str, Dependency]]] = None
+    items: Optional[ItemsSchema] = None
+    additional_items: Optional["Schema"] = None
+    max_items: Optional[int] = None
+    min_items: Optional[int] = None
+    contains: Optional["Schema"] = None
+    all_of: Optional[list["Schema"]] = None
+    any_of: Optional[list["Schema"]] = None
+    one_of: Optional[list["Schema"]] = None
+    not_: Optional["Schema"] = None
+    if_: Optional["Schema"] = None
+    then_: Optional["Schema"] = None
+    else_: Optional["Schema"] = None
+    definitions: Optional[dict[str, "Schema"]] = None
+    #: original JSON value, kept for pointer navigation by the resolver
+    raw: Any = None
+
+
+#: a schema is either a boolean or a keyword object
+Schema = Union[bool, SchemaObject]
+
+
+def _is_number(v: Any) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def _parse_nat(v: Any, kw: str) -> int:
+    if not _is_number(v):
+        raise SchemaParseError(f"{kw}: expected number, got {v!r}")
+    # reference: JsonNumber -> Float -> UInt64 -> Nat (truncating)
+    return max(0, int(float(v)))
+
+
+def _parse_float(v: Any, kw: str) -> float:
+    if not _is_number(v):
+        raise SchemaParseError(f"{kw}: expected number, got {v!r}")
+    return float(v)
+
+
+def _parse_type(j: dict) -> list[str]:
+    t = j.get("type")
+    if isinstance(t, str):
+        if t not in JSON_TYPES:
+            raise SchemaParseError(f"unknown type {t!r}")
+        return [t]
+    if isinstance(t, list):
+        out = []
+        for name in t:
+            if not isinstance(name, str) or name not in JSON_TYPES:
+                raise SchemaParseError(f"unknown type {name!r}")
+            out.append(name)
+        return out
+    return ["any"]  # absent or malformed (non-str/array) => any
+
+
+def parse_schema(j: Any) -> Schema:
+    """JSON value -> Schema (parity: ``schemaFromJson`` / ``compile``)."""
+    if isinstance(j, bool):
+        return j
+    obj = SchemaObject(raw=j)
+    if not isinstance(j, dict):
+        return obj  # all-absent keywords: accepts everything
+
+    def opt(kw: str) -> Any:
+        return j.get(kw, ABSENT)
+
+    obj.types = _parse_type(j)
+
+    v = opt("$id")
+    if v is not ABSENT:
+        if not isinstance(v, str):
+            raise SchemaParseError("$id must be a string")
+        obj.id = v
+    v = opt("$ref")
+    if v is not ABSENT:
+        if not isinstance(v, str):
+            raise SchemaParseError("$ref must be a string")
+        obj.ref = v
+
+    obj.const = opt("const")
+
+    v = opt("enum")
+    if v is not ABSENT:
+        if not isinstance(v, list):
+            raise SchemaParseError("enum must be an array")
+        obj.enum = v
+
+    v = opt("required")
+    if v is not ABSENT:
+        if not isinstance(v, list) or not all(isinstance(x, str) for x in v):
+            raise SchemaParseError("required must be an array of strings")
+        obj.required = list(v)
+
+    v = opt("uniqueItems")
+    if v is not ABSENT:
+        if not isinstance(v, bool):
+            raise SchemaParseError("uniqueItems must be boolean")
+        obj.unique_items = v
+
+    for kw, attr in [
+        ("maxLength", "max_length"), ("minLength", "min_length"),
+        ("maxProperties", "max_properties"), ("minProperties", "min_properties"),
+        ("maxItems", "max_items"), ("minItems", "min_items"),
+    ]:
+        v = opt(kw)
+        if v is not ABSENT:
+            setattr(obj, attr, _parse_nat(v, kw))
+
+    for kw, attr in [
+        ("maximum", "maximum"), ("minimum", "minimum"),
+        ("exclusiveMaximum", "exclusive_maximum"),
+        ("exclusiveMinimum", "exclusive_minimum"),
+        ("multipleOf", "multiple_of"),
+    ]:
+        v = opt(kw)
+        if v is not ABSENT:
+            setattr(obj, attr, _parse_float(v, kw))
+
+    v = opt("pattern")
+    if v is not ABSENT:
+        if not isinstance(v, str):
+            raise SchemaParseError("pattern must be a string")
+        obj.pattern = v
+
+    # --- recursive fields ---
+    obj.items = _parse_items(j)
+
+    for kw, attr in [
+        ("propertyNames", "property_names"),
+        ("additionalProperties", "additional_properties"),
+        ("additionalItems", "additional_items"),
+        ("contains", "contains"),
+        ("not", "not_"), ("if", "if_"), ("then", "then_"), ("else", "else_"),
+    ]:
+        v = opt(kw)
+        if v is not ABSENT:
+            setattr(obj, attr, parse_schema(v))
+
+    for kw, attr in [("properties", "properties"), ("patternProperties", "pattern_properties")]:
+        v = opt(kw)
+        if v is not ABSENT:
+            if not isinstance(v, dict):
+                raise SchemaParseError(f"{kw} must be an object")
+            setattr(obj, attr, [(k, parse_schema(s)) for k, s in v.items()])
+
+    for kw in ("allOf", "anyOf", "oneOf"):
+        v = opt(kw)
+        if v is not ABSENT:
+            if not isinstance(v, list):
+                raise SchemaParseError(f"{kw} must be an array")
+            setattr(obj, {"allOf": "all_of", "anyOf": "any_of", "oneOf": "one_of"}[kw],
+                    [parse_schema(s) for s in v])
+
+    obj.dependencies = _parse_dependencies(j)
+
+    defs: dict[str, Schema] = {}
+    for kw in ("definitions", "$defs"):  # $defs = 2020-12 alias (extension)
+        v = opt(kw)
+        if v is not ABSENT:
+            if not isinstance(v, dict):
+                raise SchemaParseError(f"{kw} must be an object")
+            for k, s in v.items():
+                defs[k] = parse_schema(s)
+    if defs:
+        obj.definitions = defs
+
+    return obj
+
+
+def _parse_items(j: dict) -> Optional[ItemsSchema]:
+    v = j.get("items", ABSENT)
+    if v is not ABSENT:
+        if isinstance(v, list):
+            return ItemsSchema(tuple_items=[parse_schema(s) for s in v])
+        return ItemsSchema(single=parse_schema(v))
+    # 2020-12 alias (extension): prefixItems is positional items
+    v = j.get("prefixItems", ABSENT)
+    if v is not ABSENT and isinstance(v, list):
+        return ItemsSchema(tuple_items=[parse_schema(s) for s in v])
+    return None
+
+
+def _parse_dependencies(j: dict) -> Optional[list[tuple[str, Dependency]]]:
+    out: list[tuple[str, Dependency]] = []
+    v = j.get("dependencies", ABSENT)
+    if v is not ABSENT:
+        if not isinstance(v, dict):
+            raise SchemaParseError("dependencies must be an object")
+        for k, dep in v.items():
+            if isinstance(dep, list):
+                if not all(isinstance(x, str) for x in dep):
+                    raise SchemaParseError("dependency array must contain strings")
+                out.append((k, Dependency(required_props=list(dep))))
+            else:
+                out.append((k, Dependency(schema=parse_schema(dep))))
+    # 2020-12 aliases (extension)
+    v = j.get("dependentRequired", ABSENT)
+    if v is not ABSENT and isinstance(v, dict):
+        for k, dep in v.items():
+            if isinstance(dep, list):
+                out.append((k, Dependency(required_props=[str(x) for x in dep])))
+    v = j.get("dependentSchemas", ABSENT)
+    if v is not ABSENT and isinstance(v, dict):
+        for k, dep in v.items():
+            out.append((k, Dependency(schema=parse_schema(dep))))
+    return out or None
+
+
+def compile_schema(j: Any) -> Schema:
+    """Public alias (parity: JsonSchema/Compiler.lean:9 ``compile``)."""
+    return parse_schema(j)

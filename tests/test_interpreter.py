@@ -1,0 +1,101 @@
+"""Conformance replay of JSON-Schema-Test-Suite-shaped fixtures + reference quirks."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from json_schema_lean_spark.interpreter import (
+    CompiledValidator,
+    json_eq,
+    number_is_int,
+    validate_json,
+)
+
+SUITE_DIR = Path(__file__).resolve().parent.parent / "fixtures" / "suite"
+
+
+def iter_cases():
+    for f in sorted(SUITE_DIR.glob("*.json")):
+        for case in json.loads(f.read_text()):
+            for test in case["tests"]:
+                yield pytest.param(
+                    case["schema"], test["data"], test["valid"],
+                    id=f"{f.stem}::{case['description']}::{test['description']}",
+                )
+
+
+@pytest.mark.parametrize("schema,data,expected", list(iter_cases()))
+def test_suite_case(schema, data, expected):
+    assert validate_json(schema, data) is expected
+
+
+def test_compile_once_apply_many():
+    v = CompiledValidator({"type": "integer", "minimum": 0})
+    assert [v.is_valid(x) for x in [1, -1, 2.0, "x", None]] == [True, False, True, False, False]
+
+
+def test_violation_rows_carry_pointer_and_keyword():
+    v = CompiledValidator({
+        "type": "object",
+        "properties": {
+            "spans": {"items": {"type": "object",
+                                "required": ["kind"],
+                                "properties": {"offset": {"minimum": 0}}}}
+        },
+    })
+    viols = v.validate({"spans": [{"kind": "text", "offset": 1},
+                                  {"offset": -5}]})
+    assert {(x.keyword, x.json_pointer) for x in viols} == {
+        ("required", "/spans/1"),
+        ("minimum", "/spans/1/offset"),
+    }
+
+
+def test_collect_all_reports_every_keyword():
+    v = CompiledValidator({"type": "string", "minLength": 5, "pattern": "^a"})
+    viols = v.validate(3, collect_all=True)
+    assert [x.keyword for x in viols] == ["type"]  # string keywords pass on non-strings
+    viols = v.validate("b", collect_all=True)
+    assert [x.keyword for x in viols] == ["minLength", "pattern"]
+
+
+def test_fuel_exhaustion_is_stack_overflow():
+    schema = {"definitions": {"a": {"allOf": [{"$ref": "#/definitions/a"}]}},
+              "$ref": "#/definitions/a"}
+    v = CompiledValidator(schema, fuel=50)
+    viols = v.validate(1)
+    assert viols and viols[0].keyword == "$recursion"
+
+
+def test_registry_multi_schema():
+    v = CompiledValidator(
+        {"$ref": "https://other.example/schema"},
+        registry={"https://other.example/schema": {"type": "integer"}},
+    )
+    assert v.is_valid(3) is True
+    assert v.is_valid("s") is False
+
+
+def test_id_inside_if_referencable():
+    schema = json.loads(
+        (SUITE_DIR.parent / "schemas" / "another_schema.json").read_text())
+    v = CompiledValidator(schema, uri="https://example.com/schemas/conditional")
+    assert v.is_valid(12) is True     # if matched -> then ($ref #inner) -> >=10
+    assert v.is_valid(5) is False     # integer <10: if fails -> else: type string
+    assert v.is_valid("hello") is True
+
+
+def test_number_is_int_quirks():
+    assert number_is_int(1.0) is True
+    assert number_is_int(1) is True
+    assert number_is_int(1.5) is False
+    assert number_is_int(float("inf")) is False
+    assert number_is_int(True) is False
+
+
+def test_json_eq_quirks():
+    assert json_eq(1, 1.0) is True
+    assert json_eq(True, 1) is False
+    assert json_eq({"a": [1, 2.0]}, {"a": [1.0, 2]}) is True
+    assert json_eq({"a": 1}, {"a": 1, "b": 2}) is False
