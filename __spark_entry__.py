@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``     — flagship: columnar schema validation of the sf0.001
+                       documents table (verdicts + violations).
+``queries()``        — one callable per implemented operator (SURVEY.md §2 +
+                       task-mandated pipeline extensions).
+``oracle_sql()``     — DuckDB-equivalent SQL per query for the driver's
+                       side-by-side correctness check at sf0.01.
+
+Column names are aliased identically on both sides (the driver hash-compares
+values after sorting columns by name); float outputs are rounded to 6 dp on
+both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +17,332 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from json_schema_lean_spark.operators.dedup import exact_dup_groups
+from json_schema_lean_spark.operators.referential import dangling_ref_counts
+from json_schema_lean_spark.operators.similarity import brute_force_topk
+from json_schema_lean_spark.operators.stats import (
+    numeric_column_stats,
+    uniqueness_summary,
+)
+from json_schema_lean_spark.operators.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
+from json_schema_lean_spark.operators.validation import (
+    validate_dataframe,
+    validate_json_column,
+    violation_rows,
+)
+
+# ---------------------------------------------------------------------------
+# flagship schema over the flat documents table (driver testdata shape)
+# ---------------------------------------------------------------------------
+
+FLAT_DOC_SCHEMA = {
+    "$id": "https://engine.example/schemas/flat-doc",
+    "type": "object",
+    "required": ["doc_id", "text", "lang"],
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "text": {"type": "string", "minLength": 1},
+        "lang": {"enum": ["en", "es", "zh"]},
+        "source": {"type": "string", "pattern": "^src[0-9]+$"},
+        "n_chars": {"type": "integer", "minimum": 0, "maximum": 400},
+    },
+}
+
+EVENT_PROPS_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 1}},
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: validate sf0.001 documents against FLAT_DOC_SCHEMA
+    (columnar plan, zero Python per row); return verdicts + violations."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    out = validate_dataframe(docs, FLAT_DOC_SCHEMA)
+    return out.select("doc_id", "valid",
+                      F.transform("violations", lambda v: v.getField("keyword"))
+                       .alias("failed_keywords"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_validate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = validate_dataframe(_docs(spark, sf_dir), FLAT_DOC_SCHEMA)
+    return out.select("doc_id", "valid")
+
+
+def _q_violations_by_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = validate_dataframe(_docs(spark, sf_dir), FLAT_DOC_SCHEMA)
+    return (violation_rows(out, ["doc_id"])
+            .groupBy("keyword").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _q_validate_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return validate_json_column(ev, "props", EVENT_PROPS_SCHEMA) \
+        .select("event_id", "valid")
+
+
+def _q_doc_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return numeric_column_stats(_docs(spark, sf_dir), ["doc_id", "n_chars"])
+
+
+def _q_uniqueness_doc_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return uniqueness_summary(_docs(spark, sf_dir), "doc_id")
+
+
+def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_groups(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _q_dangling_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return dangling_ref_counts(li, "l_partkey", part, "p_partkey")
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_subtokens"),
+    )
+
+
+def _q_quality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+    )
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def _q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (o.withColumn("rk", F.row_number().over(w))
+             .where(F.col("rk") <= 3)
+             .select("o_custkey", "o_orderkey", "rk"))
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=5)
+
+
+def _q_embedding_uniqueitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = validate_dataframe(
+        emb, {"properties": {"embedding": {"uniqueItems": True, "minItems": 1}}})
+    return out.select("vec_id", "valid")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_documents": _q_validate_documents,
+        "violations_by_keyword": _q_violations_by_keyword,
+        "validate_events_props": _q_validate_events_props,
+        "doc_numeric_stats": _q_doc_numeric_stats,
+        "uniqueness_doc_id": _q_uniqueness_doc_id,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "dangling_partkeys": _q_dangling_partkeys,
+        "token_counts": _q_token_counts,
+        "quality_ratios": _q_quality_ratios,
+        "fingerprints": _q_fingerprints,
+        "q1_pricing": _q_q1_pricing,
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "ann_topk": _q_ann_topk,
+        "embedding_uniqueitems": _q_embedding_uniqueitems,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (same column names, same rounding)
+# ---------------------------------------------------------------------------
+
+_VALID_DOC_EXPR = """
+    (doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL)
+    AND (doc_id IS NULL OR doc_id >= 0)
+    AND (text IS NULL OR length(text) >= 1)
+    AND (lang IS NULL OR lang IN ('en','es','zh'))
+    AND (source IS NULL OR regexp_matches(source, '^src[0-9]+$'))
+    AND (n_chars IS NULL OR (n_chars >= 0 AND n_chars <= 400))
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "validate_documents": f"""
+            SELECT doc_id, ({_VALID_DOC_EXPR}) AS valid FROM documents
+        """,
+        "violations_by_keyword": f"""
+            WITH v AS (
+              SELECT 'required' AS keyword, count(*) AS n FROM documents
+                WHERE doc_id IS NULL OR text IS NULL OR lang IS NULL
+              UNION ALL
+              SELECT 'minimum', count(*) FROM documents WHERE doc_id < 0
+              UNION ALL
+              SELECT 'minLength', count(*) FROM documents
+                WHERE text IS NOT NULL AND length(text) < 1
+              UNION ALL
+              SELECT 'enum', count(*) FROM documents
+                WHERE lang IS NOT NULL AND lang NOT IN ('en','es','zh')
+              UNION ALL
+              SELECT 'pattern', count(*) FROM documents
+                WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')
+              UNION ALL
+              SELECT 'maximum', count(*) FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 400
+              UNION ALL
+              SELECT 'minimum', count(*) FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars < 0
+            )
+            SELECT keyword, sum(n)::BIGINT AS n FROM v GROUP BY keyword HAVING sum(n) > 0
+        """,
+        "validate_events_props": """
+            SELECT event_id,
+                   (json_extract(props::JSON, '$.k') IS NOT NULL
+                    AND json_type(props::JSON, '$.k') IN ('BIGINT','UBIGINT')
+                    AND CAST(json_extract_string(props::JSON, '$.k') AS BIGINT) >= 1
+                   ) AS valid
+            FROM events
+        """,
+        "doc_numeric_stats": """
+            SELECT 'doc_id' AS "column", count(doc_id) AS n,
+                   sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+                   round(min(doc_id)::DOUBLE, 6) AS min_value,
+                   round(max(doc_id)::DOUBLE, 6) AS max_value,
+                   round(avg(doc_id), 6) AS mean_value
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(n_chars),
+                   sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   round(min(n_chars)::DOUBLE, 6), round(max(n_chars)::DOUBLE, 6),
+                   round(avg(n_chars), 6)
+            FROM documents
+        """,
+        "uniqueness_doc_id": """
+            SELECT sum(cnt)::BIGINT AS total_rows,
+                   count(*)::BIGINT AS distinct_keys,
+                   sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS rows_in_dup_keys
+            FROM (SELECT doc_id, count(*) AS cnt FROM documents GROUP BY doc_id)
+        """,
+        "exact_dup_groups": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                   min(doc_id) AS keep_id, count(*) AS n_rows
+            FROM documents GROUP BY 1
+        """,
+        "dangling_partkeys": """
+            SELECT l_partkey, count(*) AS n_refs
+            FROM lineitem l
+            WHERE l_partkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+            GROUP BY l_partkey
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE length(string_split_regex(trim(text), '\\s+')) END::BIGINT
+                     AS n_tokens,
+                   length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+                     AS n_subtokens
+            FROM documents
+        """,
+        "quality_ratios": """
+            SELECT doc_id,
+                   round(CASE WHEN length(text) > 0
+                              THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                                   / length(text)
+                              ELSE 0.0 END, 6) AS punct_ratio,
+                   round(CASE WHEN length(string_split_regex(trim(lower(text)), '\\s+')) > 0
+                              THEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                       t -> t IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+                                   / length(string_split_regex(trim(lower(text)), '\\s+'))
+                              ELSE 0.0 END, 6) AS stopword_ratio
+            FROM documents
+        """,
+        "fingerprints": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, rk FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders)
+            WHERE rk <= 3
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                       FROM embeddings),
+                 scored AS (
+                   SELECT q.query_id, c.neighbor_id,
+                          list_cosine_similarity(c.cv, q.qv) AS score
+                   FROM c, q WHERE c.neighbor_id <> q.query_id)
+            SELECT query_id, neighbor_id, rk AS rank FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id ASC) AS rk
+              FROM scored)
+            WHERE rk <= 5
+        """,
+        "embedding_uniqueitems": """
+            SELECT vec_id,
+                   (embedding IS NULL OR
+                    (len(list_distinct(embedding)) = len(embedding)
+                     AND len(embedding) >= 1)) AS valid
+            FROM embeddings
+        """,
+    }

@@ -1,0 +1,615 @@
+"""Schema AST -> native Spark Column predicate plan (the 100 TB scale path).
+
+This is the engine's analog of the reference's interpreter loop
+(/root/reference/JsonSchema/Validation.lean:375-424) re-expressed as a
+compile-time lowering: the schema is walked ONCE on the driver against the
+input column's Spark DataType, emitting a fused Column expression DAG that
+Catalyst optimizes and whole-stage-codegens. No Python runs per row.
+
+Key design points:
+
+- **dtype-specialized**: ``type`` checks resolve statically (a StringType
+  column always satisfies ``"type":"string"``); ``required`` on shredded
+  structs degenerates to not-null checks; ``propertyNames``/
+  ``additionalProperties`` over StructType constant-fold against the literal
+  field list.
+- **$ref inlining**: refs resolve at compile time through the driver-side
+  Resolver. Termination: recursion through properties/items consumes finite
+  DataType depth; "evil" cycles (through allOf/anyOf/oneOf/not/if/then/else,
+  which do not consume dtype) are rejected up front by the cycle DFS
+  (resolver.find_ref_cycle) + a depth guard.
+- **absent = null**: a null struct field models a missing JSON key, so every
+  keyword check passes on null input (the reference's type-guard semantics,
+  Validation.lean:46 etc.).
+- **two outputs per node**: a cheap fused ``valid`` boolean (verdict
+  throughput mode) and a ``violations`` array<struct<keyword,json_pointer,
+  message>> (audit mode) with RFC 6901 pointers built as Column expressions.
+
+Anything not lowerable to Columns (exotic regex, dynamic JSON payloads,
+MapType-shaped objects) raises :class:`CompileFallback`; callers route those
+to the Arrow-batch interpreter path (operators/validation.py) — never a
+row-at-a-time Python UDF.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+from functools import reduce
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    ByteType,
+    DataType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    ShortType,
+    StringType,
+    StructType,
+)
+
+from .resolver import DEFAULT_URI, Resolver, SchemaCycleError, find_ref_cycle, resolve_uri
+from .schema_ast import ABSENT, Schema, SchemaObject, parse_schema
+
+_INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
+_FRACTIONAL = (FloatType, DoubleType, DecimalType)
+
+VIOLATION_SCHEMA = "array<struct<keyword:string,json_pointer:string,message:string>>"
+
+#: max evil-$ref inlining depth (safety net past the cycle DFS)
+MAX_INLINE_DEPTH = 64
+
+
+class CompileFallback(Exception):
+    """Schema construct not expressible as Column ops for this dtype;
+    route the column through the Arrow-batch interpreter instead."""
+
+
+@dataclass
+class Lowered:
+    """Compiled predicate for one (schema, dtype) pair."""
+
+    valid: Callable[[Column], Column]
+    violations: Callable[[Column, Column], Column]  # (col, ptr) -> array<viol>
+
+
+def _true(_: Column) -> Column:
+    return F.lit(True)
+
+
+def _no_viols(_: Column, __: Column) -> Column:
+    return F.array().cast(VIOLATION_SCHEMA)
+
+
+_LOWERED_TRUE = Lowered(valid=_true, violations=_no_viols)
+
+
+def _viol(keyword: str, ptr: Column, message: str) -> Column:
+    return F.struct(
+        F.lit(keyword).alias("keyword"),
+        ptr.alias("json_pointer"),
+        F.lit(message).alias("message"),
+    )
+
+
+def _guard(col: Column, pred: Column) -> Column:
+    """Keyword check passes when the value is absent (null) — reference
+    type-guard semantics. Also forces three-valued logic to a definite bool."""
+    return F.when(col.isNull(), F.lit(True)).otherwise(F.coalesce(pred, F.lit(False)))
+
+
+def _concat_viols(parts: list[Column]) -> Column:
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        return F.array().cast(VIOLATION_SCHEMA)
+    if len(parts) == 1:
+        return parts[0]
+    return F.concat(*parts)
+
+
+def _cond_viol(col: Column, ok: Column, keyword: str, ptr: Column, msg: str) -> Column:
+    """Emit a 1-element violation array when the (null-guarded) check fails."""
+    return F.when(_guard(col, ok), F.array().cast(VIOLATION_SCHEMA)) \
+            .otherwise(F.array(_viol(keyword, ptr, msg)))
+
+
+def java_regex_safe(pattern: str) -> bool:
+    """Conservative regex-dialect classifier (SURVEY.md §4 item 2): patterns
+    with Python-only syntax route to the Arrow fallback instead of
+    ``regexp_like``; everything else is Java-compatible for the subset our
+    schemas use."""
+    try:
+        re.compile(pattern)
+    except re.error:
+        return False
+    # Python-specific syntax that Java regex handles differently
+    if "(?P" in pattern or "(?#" in pattern:
+        return False
+    return True
+
+
+class ColumnarCompiler:
+    """Compile a schema once against a DataFrame column's dtype."""
+
+    def __init__(
+        self,
+        schema_json: Any,
+        uri: str = DEFAULT_URI,
+        registry: Optional[dict[str, Any]] = None,
+    ) -> None:
+        self.schema: Schema = parse_schema(schema_json)
+        self.root_uri = uri
+        self.resolver = Resolver()
+        self.resolver.add_schema(schema_json, uri)
+        if registry:
+            for reg_uri, reg_schema in registry.items():
+                self.resolver.add_schema(reg_schema, reg_uri)
+        cycle = find_ref_cycle(self.resolver)
+        if cycle is not None:
+            raise SchemaCycleError(cycle)
+
+    def lower(self, dtype: DataType) -> Lowered:
+        return self._lower(self.schema, dtype, self.root_uri, 0)
+
+    # ------------------------------------------------------------------
+
+    def _lower(self, schema: Schema, dtype: DataType, base_uri: str, depth: int) -> Lowered:
+        if depth > MAX_INLINE_DEPTH:
+            raise CompileFallback("inline depth exceeded")
+        if isinstance(schema, bool):
+            if schema:
+                return _LOWERED_TRUE
+            return Lowered(
+                valid=lambda c: F.lit(False),
+                violations=lambda c, p: F.array(
+                    _viol("false", p, "Boolean schema 'false' rejects all values")),
+            )
+        s = schema
+        assert isinstance(s, SchemaObject)
+
+        # $ref overrides siblings (Draft 7): inline the target
+        if s.ref is not None:
+            target = resolve_uri(base_uri, s.ref)
+            root, subpath = self.resolver.resolve_path(target)
+            got = self.resolver.get_schema_and_uri(root, subpath)
+            if got is None:
+                # unresolvable ref: every instance fails (reference reports error)
+                return Lowered(
+                    valid=lambda c: F.lit(False),
+                    violations=lambda c, p: F.array(
+                        _viol("$ref", p, f"Could not find {target!r}")),
+                )
+            sub, new_uri = got
+            return self._lower(sub, dtype, new_uri, depth + 1)
+
+        if s.id is not None:
+            base_uri = resolve_uri(base_uri, s.id)
+
+        valid_parts: list[Callable[[Column], Column]] = []
+        viol_parts: list[Callable[[Column, Column], Column]] = []
+
+        def add(valid_fn: Callable[[Column], Column],
+                viol_fn: Callable[[Column, Column], Column]) -> None:
+            valid_parts.append(valid_fn)
+            viol_parts.append(viol_fn)
+
+        def add_simple(ok_fn: Callable[[Column], Column], keyword: str, msg: str) -> None:
+            add(lambda c, ok=ok_fn: _guard(c, ok(c)),
+                lambda c, p, ok=ok_fn, kw=keyword, m=msg: _cond_viol(c, ok(c), kw, p, m))
+
+        self._lower_type(s, dtype, add_simple)
+        self._lower_const_enum(s, dtype, add_simple)
+        self._lower_string(s, dtype, add_simple)
+        self._lower_numeric(s, dtype, add_simple)
+        self._lower_object(s, dtype, base_uri, depth, add, add_simple)
+        self._lower_array(s, dtype, base_uri, depth, add, add_simple)
+        self._lower_combinators(s, dtype, base_uri, depth, add)
+
+        if not valid_parts:
+            return _LOWERED_TRUE
+
+        def valid(c: Column) -> Column:
+            return reduce(lambda a, b: a & b, (fn(c) for fn in valid_parts))
+
+        def violations(c: Column, p: Column) -> Column:
+            return _concat_viols([fn(c, p) for fn in viol_parts])
+
+        return Lowered(valid=valid, violations=violations)
+
+    # ---- type -----------------------------------------------------------
+
+    def _lower_type(self, s: SchemaObject, dtype: DataType, add_simple) -> None:
+        if "any" in s.types:
+            return
+        static_names = _static_type_names(dtype)
+        if any(t in static_names for t in s.types):
+            return  # statically satisfied
+        if "integer" in s.types and isinstance(dtype, _FRACTIONAL):
+            # integer refinement: zero fraction (1.0 IS an integer)
+            add_simple(lambda c: c.cast("double") == F.floor(c.cast("double")),
+                       "type", "expected integer")
+            return
+        if "number" in s.types and isinstance(dtype, BooleanType):
+            pass  # bool is NOT a number
+        add_simple(lambda c: F.lit(False), "type", f"expected one of {s.types}")
+
+    # ---- const / enum -----------------------------------------------------
+
+    def _lower_const_enum(self, s: SchemaObject, dtype: DataType, add_simple) -> None:
+        if s.const is not ABSENT:
+            lit = _literal_for(s.const, dtype)
+            if lit is None:
+                add_simple(lambda c: F.lit(False), "const", f"expected {_cjson(s.const)}")
+            else:
+                add_simple(lambda c, l=lit: c == l, "const", f"expected {_cjson(s.const)}")
+        if s.enum is not None:
+            lits = [_literal_for(v, dtype) for v in s.enum]
+            lits = [l for l in lits if l is not None]
+            if not lits:
+                add_simple(lambda c: F.lit(False), "enum", "not in enum")
+            else:
+                add_simple(lambda c, ls=lits: reduce(lambda a, b: a | b, ((c == l) for l in ls)),
+                           "enum", "not in enum")
+
+    # ---- strings -----------------------------------------------------------
+
+    def _lower_string(self, s: SchemaObject, dtype: DataType, add_simple) -> None:
+        if not isinstance(dtype, StringType):
+            return  # string keywords pass on non-strings
+        if s.max_length is not None:
+            n = s.max_length
+            add_simple(lambda c, n=n: F.length(c) <= n, "maxLength", f"length > {n}")
+        if s.min_length is not None:
+            n = s.min_length
+            add_simple(lambda c, n=n: F.length(c) >= n, "minLength", f"length < {n}")
+        if s.pattern is not None:
+            pat = s.pattern
+            if not java_regex_safe(pat):
+                raise CompileFallback(f"pattern not Java-safe: {pat!r}")
+            add_simple(lambda c, p=pat: F.regexp_like(c, F.lit(p)),
+                       "pattern", f"no match for {pat!r}")
+
+    # ---- numerics -----------------------------------------------------------
+
+    def _lower_numeric(self, s: SchemaObject, dtype: DataType, add_simple) -> None:
+        if not isinstance(dtype, _INTEGRAL + _FRACTIONAL):
+            return
+        def d(c: Column) -> Column:
+            return c.cast("double")
+        if s.maximum is not None:
+            m = s.maximum
+            add_simple(lambda c, m=m: d(c) <= m, "maximum", f"> {m}")
+        if s.exclusive_maximum is not None:
+            m = s.exclusive_maximum
+            add_simple(lambda c, m=m: d(c) < m, "exclusiveMaximum", f">= {m}")
+        if s.minimum is not None:
+            m = s.minimum
+            add_simple(lambda c, m=m: d(c) >= m, "minimum", f"< {m}")
+        if s.exclusive_minimum is not None:
+            m = s.exclusive_minimum
+            add_simple(lambda c, m=m: d(c) > m, "exclusiveMinimum", f"<= {m}")
+        if s.multiple_of is not None:
+            m = s.multiple_of
+            if m == 0:
+                add_simple(lambda c: F.lit(False), "multipleOf", "multipleOf 0")
+            else:
+                # reference semantics: float division, zero fraction, finite
+                add_simple(
+                    lambda c, m=m: (d(c) / m == F.floor(d(c) / m))
+                    & ~F.isnan(d(c) / m) & (F.abs(d(c) / m) != float("inf")),
+                    "multipleOf", f"not a multiple of {m}")
+
+    # ---- objects (StructType shredding) -----------------------------------
+
+    def _lower_object(self, s: SchemaObject, dtype: DataType, base_uri: str,
+                      depth: int, add, add_simple) -> None:
+        has_obj_kw = any([
+            s.required, s.properties, s.pattern_properties, s.property_names,
+            s.additional_properties is not None, s.max_properties is not None,
+            s.min_properties is not None, s.dependencies,
+        ])
+        if not has_obj_kw:
+            return
+        if isinstance(dtype, MapType):
+            raise CompileFallback("MapType objects not yet lowered")
+        if not isinstance(dtype, StructType):
+            return  # object keywords pass on non-objects
+
+        names = [f.name for f in dtype.fields]
+        field_type = {f.name: f.dataType for f in dtype.fields}
+
+        def present(c: Column, k: str) -> Column:
+            return c.getField(k).isNotNull() if k in field_type else F.lit(False)
+
+        if s.required:
+            req = list(s.required)
+            add_simple(lambda c, r=req: reduce(lambda a, b: a & b,
+                                               (present(c, k) for k in r)),
+                       "required", f"missing one of {req}")
+
+        # key count on shredded structs = count of non-null fields
+        if s.max_properties is not None or s.min_properties is not None:
+            def nprops(c: Column) -> Column:
+                return reduce(lambda a, b: a + b,
+                              (present(c, k).cast("int") for k in names)) \
+                    if names else F.lit(0)
+            if s.max_properties is not None:
+                m = s.max_properties
+                add_simple(lambda c, m=m: nprops(c) <= m, "maxProperties", f"> {m}")
+            if s.min_properties is not None:
+                m = s.min_properties
+                add_simple(lambda c, m=m: nprops(c) >= m, "minProperties", f"< {m}")
+
+        if s.properties:
+            for name, sub in s.properties:
+                if name not in field_type:
+                    continue  # key can never be present -> check never fires
+                low = self._lower(sub, field_type[name], base_uri, depth + 1)
+                tok = name.replace("~", "~0").replace("/", "~1")
+
+                def v_fn(c: Column, lo=low, k=name) -> Column:
+                    return F.when(c.isNull() | c.getField(k).isNull(), F.lit(True)) \
+                            .otherwise(lo.valid(c.getField(k)))
+
+                def viol_fn(c: Column, p: Column, lo=low, k=name, t=tok) -> Column:
+                    return F.when(c.isNull() | c.getField(k).isNull(),
+                                  F.array().cast(VIOLATION_SCHEMA)) \
+                            .otherwise(lo.violations(c.getField(k),
+                                                     F.concat(p, F.lit("/" + t))))
+                add(v_fn, viol_fn)
+
+        if s.property_names is not None:
+            # field names are compile-time literals on shredded structs, but a
+            # name check only applies to PRESENT (non-null) fields at runtime.
+            pn = s.property_names
+            if isinstance(pn, bool):
+                bad = [] if pn else list(names)
+            else:
+                from .interpreter import CompiledValidator
+                name_validator = CompiledValidator(pn.raw if pn.raw is not None else {})
+                bad = [k for k in names if not name_validator.is_valid(k)]
+            if bad:
+                add_simple(lambda c, b=bad: ~reduce(lambda x, y: x | y,
+                                                    (present(c, k) for k in b)),
+                           "propertyNames", f"invalid property names {bad}")
+
+        if s.additional_properties is not None:
+            declared = {n for n, _ in (s.properties or [])}
+            pattern_res = [p for p, _ in (s.pattern_properties or [])]
+            extra = []
+            for k in names:
+                if k in declared:
+                    continue
+                if any(re.search(p, k) for p in pattern_res if java_regex_safe(p)):
+                    continue
+                extra.append(k)
+            if extra:
+                if isinstance(s.additional_properties, bool):
+                    if not s.additional_properties:
+                        add_simple(lambda c, e=extra: ~reduce(lambda x, y: x | y,
+                                                              (present(c, k) for k in e)),
+                                   "additionalProperties", f"unexpected keys {extra}")
+                else:
+                    for k in extra:
+                        low = self._lower(s.additional_properties, field_type[k],
+                                          base_uri, depth + 1)
+                        tok = k.replace("~", "~0").replace("/", "~1")
+
+                        def v_fn(c: Column, lo=low, kk=k) -> Column:
+                            return F.when(c.isNull() | c.getField(kk).isNull(), F.lit(True)) \
+                                    .otherwise(lo.valid(c.getField(kk)))
+
+                        def viol_fn(c: Column, p: Column, lo=low, kk=k, t=tok) -> Column:
+                            return F.when(c.isNull() | c.getField(kk).isNull(),
+                                          F.array().cast(VIOLATION_SCHEMA)) \
+                                    .otherwise(lo.violations(c.getField(kk),
+                                                             F.concat(p, F.lit("/" + t))))
+                        add(v_fn, viol_fn)
+
+        if s.pattern_properties:
+            declared_by_pattern: list[tuple[str, Schema]] = s.pattern_properties
+            for pat, sub in declared_by_pattern:
+                if not java_regex_safe(pat):
+                    raise CompileFallback(f"patternProperties regex {pat!r}")
+                for k in names:
+                    if re.search(pat, k) is None:
+                        continue
+                    low = self._lower(sub, field_type[k], base_uri, depth + 1)
+                    tok = k.replace("~", "~0").replace("/", "~1")
+
+                    def v_fn(c: Column, lo=low, kk=k) -> Column:
+                        return F.when(c.isNull() | c.getField(kk).isNull(), F.lit(True)) \
+                                .otherwise(lo.valid(c.getField(kk)))
+
+                    def viol_fn(c: Column, p: Column, lo=low, kk=k, t=tok) -> Column:
+                        return F.when(c.isNull() | c.getField(kk).isNull(),
+                                      F.array().cast(VIOLATION_SCHEMA)) \
+                                .otherwise(lo.violations(c.getField(kk),
+                                                         F.concat(p, F.lit("/" + t))))
+                    add(v_fn, viol_fn)
+
+        if s.dependencies:
+            for key, dep in s.dependencies:
+                if dep.required_props is not None:
+                    reqs = dep.required_props
+                    add_simple(
+                        lambda c, k=key, r=reqs: F.when(
+                            present(c, k),
+                            reduce(lambda a, b: a & b, (present(c, x) for x in r))
+                            if r else F.lit(True)).otherwise(F.lit(True)),
+                        "dependencies", f"{key!r} requires {dep.required_props}")
+                if dep.schema is not None:
+                    low = self._lower(dep.schema, dtype, base_uri, depth + 1)
+
+                    def v_fn(c: Column, lo=low, k=key) -> Column:
+                        return F.when(c.isNull() | ~present(c, k), F.lit(True)) \
+                                .otherwise(lo.valid(c))
+
+                    def viol_fn(c: Column, p: Column, lo=low, k=key) -> Column:
+                        return F.when(c.isNull() | ~present(c, k),
+                                      F.array().cast(VIOLATION_SCHEMA)) \
+                                .otherwise(lo.violations(c, p))
+                    add(v_fn, viol_fn)
+
+    # ---- arrays -------------------------------------------------------------
+
+    def _lower_array(self, s: SchemaObject, dtype: DataType, base_uri: str,
+                     depth: int, add, add_simple) -> None:
+        has_arr_kw = any([
+            s.items is not None, s.additional_items is not None,
+            s.max_items is not None, s.min_items is not None,
+            s.unique_items, s.contains is not None,
+        ])
+        if not has_arr_kw or not isinstance(dtype, ArrayType):
+            return
+        elem_t = dtype.elementType
+
+        if s.max_items is not None:
+            m = s.max_items
+            add_simple(lambda c, m=m: F.size(c) <= m, "maxItems", f"> {m}")
+        if s.min_items is not None:
+            m = s.min_items
+            add_simple(lambda c, m=m: F.size(c) >= m, "minItems", f"< {m}")
+        if s.unique_items:
+            add_simple(lambda c: F.size(F.array_distinct(c)) == F.size(c),
+                       "uniqueItems", "duplicate elements")
+
+        if s.items is not None and not s.items.is_tuple:
+            low = self._lower(s.items.single, elem_t, base_uri, depth + 1)
+            add(
+                lambda c, lo=low: _guard(
+                    c, F.forall(c, lambda e: F.coalesce(lo.valid(e), F.lit(False)))),
+                lambda c, p, lo=low: F.when(c.isNull(), F.array().cast(VIOLATION_SCHEMA))
+                .otherwise(F.flatten(_transform_with_index(
+                    c, lambda e, i: lo.violations(
+                        e, F.concat(p, F.lit("/"), i.cast("string")))))),
+            )
+        elif s.items is not None and s.items.is_tuple:
+            for i, sub in enumerate(s.items.tuple_items):
+                low = self._lower(sub, elem_t, base_uri, depth + 1)
+
+                def v_fn(c: Column, lo=low, i=i) -> Column:
+                    e = F.get(c, i)
+                    return F.when(c.isNull() | (F.size(c) <= i), F.lit(True)) \
+                            .otherwise(F.coalesce(lo.valid(e), F.lit(False)))
+
+                def viol_fn(c: Column, p: Column, lo=low, i=i) -> Column:
+                    e = F.get(c, i)
+                    return F.when(c.isNull() | (F.size(c) <= i),
+                                  F.array().cast(VIOLATION_SCHEMA)) \
+                            .otherwise(lo.violations(e, F.concat(p, F.lit(f"/{i}"))))
+                add(v_fn, viol_fn)
+
+            if s.additional_items is not None:
+                k = len(s.items.tuple_items)
+                low = self._lower(s.additional_items, elem_t, base_uri, depth + 1)
+                add(
+                    lambda c, lo=low, k=k: _guard(
+                        c, F.forall(F.slice(c, k + 1, F.greatest(F.size(c) - k, F.lit(0))),
+                                    lambda e: F.coalesce(lo.valid(e), F.lit(False)))),
+                    lambda c, p, lo=low, k=k: F.when(
+                        c.isNull(), F.array().cast(VIOLATION_SCHEMA))
+                    .otherwise(F.flatten(_transform_with_index(
+                        F.slice(c, k + 1, F.greatest(F.size(c) - k, F.lit(0))),
+                        lambda e, i: lo.violations(
+                            e, F.concat(p, F.lit("/"), (i + k).cast("string")))))),
+                )
+
+        if s.contains is not None:
+            low = self._lower(s.contains, elem_t, base_uri, depth + 1)
+            add_simple(
+                lambda c, lo=low: (F.size(c) > 0)
+                & F.exists(c, lambda e: F.coalesce(lo.valid(e), F.lit(False))),
+                "contains", "no element matches (or empty array)")
+
+    # ---- combinators ----------------------------------------------------------
+
+    def _lower_combinators(self, s: SchemaObject, dtype: DataType, base_uri: str,
+                           depth: int, add) -> None:
+        if s.all_of is not None:
+            for sub in s.all_of:
+                low = self._lower(sub, dtype, base_uri, depth + 1)
+                add(low.valid, low.violations)
+        if s.any_of is not None:
+            lows = [self._lower(sub, dtype, base_uri, depth + 1) for sub in s.any_of]
+            def v_fn(c: Column, ls=lows) -> Column:
+                return reduce(lambda a, b: a | b,
+                              (F.coalesce(lo.valid(c), F.lit(False)) for lo in ls))
+            add(v_fn, lambda c, p, v=v_fn: F.when(v(c), F.array().cast(VIOLATION_SCHEMA))
+                .otherwise(F.array(_viol("anyOf", p, "no branch matched"))))
+        if s.one_of is not None:
+            lows = [self._lower(sub, dtype, base_uri, depth + 1) for sub in s.one_of]
+            def v1_fn(c: Column, ls=lows) -> Column:
+                return reduce(lambda a, b: a + b,
+                              (F.coalesce(lo.valid(c), F.lit(False)).cast("int")
+                               for lo in ls)) == 1
+            add(v1_fn, lambda c, p, v=v1_fn: F.when(v(c), F.array().cast(VIOLATION_SCHEMA))
+                .otherwise(F.array(_viol("oneOf", p, "matched != 1 branches"))))
+        if s.not_ is not None:
+            low = self._lower(s.not_, dtype, base_uri, depth + 1)
+            def vn_fn(c: Column, lo=low) -> Column:
+                return ~F.coalesce(lo.valid(c), F.lit(False))
+            add(vn_fn, lambda c, p, v=vn_fn: F.when(v(c), F.array().cast(VIOLATION_SCHEMA))
+                .otherwise(F.array(_viol("not", p, "schema matched but must not"))))
+        if s.if_ is not None:
+            if_low = self._lower(s.if_, dtype, base_uri, depth + 1)
+            then_low = self._lower(s.then_, dtype, base_uri, depth + 1) \
+                if s.then_ is not None else _LOWERED_TRUE
+            else_low = self._lower(s.else_, dtype, base_uri, depth + 1) \
+                if s.else_ is not None else _LOWERED_TRUE
+            add(
+                lambda c: F.when(F.coalesce(if_low.valid(c), F.lit(False)),
+                                 then_low.valid(c)).otherwise(else_low.valid(c)),
+                lambda c, p: F.when(F.coalesce(if_low.valid(c), F.lit(False)),
+                                    then_low.violations(c, p))
+                .otherwise(else_low.violations(c, p)),
+            )
+
+
+def _transform_with_index(col: Column, fn) -> Column:
+    return F.transform(col, lambda e, i: fn(e, i))
+
+
+def _static_type_names(dtype: DataType) -> set[str]:
+    """JSON type names a non-null value of this dtype ALWAYS satisfies."""
+    if isinstance(dtype, StringType):
+        return {"string"}
+    if isinstance(dtype, BooleanType):
+        return {"boolean"}
+    if isinstance(dtype, _INTEGRAL):
+        return {"integer", "number"}
+    if isinstance(dtype, _FRACTIONAL):
+        return {"number"}
+    if isinstance(dtype, (StructType, MapType)):
+        return {"object"}
+    if isinstance(dtype, ArrayType):
+        return {"array"}
+    return set()
+
+
+def _literal_for(value: Any, dtype: DataType) -> Optional[Column]:
+    """Literal for const/enum comparison, or None if the value can never
+    equal a (non-null) instance of this dtype."""
+    if isinstance(value, bool):
+        return F.lit(value) if isinstance(dtype, BooleanType) else None
+    if isinstance(value, (int, float)):
+        if isinstance(dtype, _INTEGRAL + _FRACTIONAL):
+            return F.lit(float(value)).cast(dtype) if isinstance(dtype, _FRACTIONAL) \
+                else (F.lit(int(value)) if float(value).is_integer() else None)
+        return None
+    if isinstance(value, str):
+        return F.lit(value) if isinstance(dtype, StringType) else None
+    return None  # nested const/enum against shredded dtypes: fallback path
+
+
+def _cjson(v: Any) -> str:
+    return json.dumps(v, separators=(",", ":"), sort_keys=True)

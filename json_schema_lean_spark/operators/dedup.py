@@ -1,0 +1,124 @@
+"""Deduplication operators (task-mandated pipeline extensions).
+
+- exact:    hash-groupBy on a normalized fingerprint (one shuffle, map-side
+            combine; at 100 TB the fingerprint is 32 bytes/row, not the text)
+- MinHash:  shingle -> k minhashes -> LSH bands -> bucket self-join on
+            (band, signature-slice) — candidate pairs only, never O(n²)
+- SimHash:  64-bit weighted-bit fingerprint; near-dups = identical simhash
+            buckets (or low Hamming distance within buckets)
+- n-gram Jaccard: exact verification of candidate pairs
+
+All hashing uses xxhash64 (JVM built-in) so signatures are deterministic and
+computed without Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import fingerprint, word_ngrams
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups on normalized text: (fp, keep_id, n_dups)."""
+    return (df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+              .groupBy("fp")
+              .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_rows"))
+            )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per normalized-text fingerprint."""
+    ranked = df.withColumn("_fp", fingerprint(F.col(text_col))).withColumn(
+        "_rn", F.row_number().over(
+            Window.partitionBy("_fp").orderBy(F.col(id_col))))
+    return ranked.where(F.col("_rn") == 1).drop("_fp", "_rn")
+
+
+def minhash_signature(shingles: Column, k: int = 32) -> Column:
+    """k-permutation MinHash via salted xxhash64 of each shingle; the
+    signature is array<bigint> of per-salt minima. Fully columnar."""
+    return F.array(*[
+        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(k)
+    ])
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
+                            k: int = 32, bands: int = 8,
+                            ngram: int = 3) -> DataFrame:
+    """LSH candidate pairs: same (band_idx, band-slice of signature) bucket.
+
+    Scale shape: the self-join keys on (band, slice-hash) — buckets are tiny
+    at realistic thresholds, so the join explodes candidates, not the corpus.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signature(word_ngrams(F.col(text_col), ngram), k)
+    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    banded = with_sig.select(
+        "_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.array_join(
+                    F.transform(F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string")), ",")).alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (left.join(right,
+                       (F.col("l.band") == F.col("r.band"))
+                       & (F.col("l.bucket") == F.col("r.bucket"))
+                       & (F.col("l._id") < F.col("r._id")))
+                  .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+                  .distinct())
+    return pairs
+
+
+def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str,
+                  id_col: str, ngram: int = 3, round_to: int = 6) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage)."""
+    grams = docs.select(F.col(id_col).alias("_id"),
+                        F.array_distinct(word_ngrams(F.col(text_col), ngram)).alias("_g"))
+    a = grams.select(F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
+    b = grams.select(F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
+    j = (df_pairs.join(a, "id_a").join(b, "id_b")
+         .withColumn("inter", F.size(F.array_intersect("g_a", "g_b")))
+         .withColumn("uni", F.size(F.array_union("g_a", "g_b"))))
+    return j.select(
+        "id_a", "id_b",
+        F.round(F.when(F.col("uni") > 0,
+                       F.col("inter").cast("double") / F.col("uni").cast("double"))
+                 .otherwise(F.lit(0.0)), round_to).alias("jaccard"))
+
+
+def simhash64(text: Column, ngram: int = 2) -> Column:
+    """64-bit SimHash over word n-grams: per-bit weighted majority of shingle
+    hashes, entirely with integer Column ops (shiftright + bitwise AND)."""
+    shingles = word_ngrams(text, ngram)
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    bits = []
+    for bit in range(64):
+        ones = F.size(F.filter(hashes,
+                               lambda h, b=bit: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1))
+        total = F.size(hashes)
+        bits.append(F.when(ones * 2 >= total, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+                     * F.lit(2 ** bit if bit < 63 else -(2 ** 63)).cast("long"))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str,
+                       ngram: int = 2) -> DataFrame:
+    """Groups of documents sharing an identical simhash (near-dup bucket)."""
+    return (df.select(F.col(id_col), simhash64(F.col(text_col), ngram).alias("simhash"))
+              .groupBy("simhash")
+              .agg(F.count(F.lit(1)).alias("n_rows"), F.min(id_col).alias("keep_id"))
+            )

@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines (task-mandated
+extensions; no reference analog — the reference validates, it never derives
+features). Everything here is pure Column expressions (JVM, codegen) so it
+survives 100 TB scans; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword language
+# heuristic — deliberately small + deterministic
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank strings count 0."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, "\\s+"))).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND word/punct
+    boundaries (a cheap BPE proxy: letters runs, digit runs, punct chars)."""
+    pieces = F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation (.,;:!?)."""
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, "[^.,;:!?]", ""))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are common English stopwords."""
+    toks = F.split(F.lower(F.trim(text)), "\\s+")
+    n = F.size(toks)
+    stops = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    return F.when(n > 0, stops.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column, round_to: int = 6) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punct noise +
+    reasonable stopword density. Deterministic, fully columnar."""
+    n = F.length(text)
+    len_ok = F.when((n >= 20) & (n <= 10000), F.lit(1.0)) \
+              .otherwise(F.when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0)))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    stop = stopword_ratio(text)
+    stop_ok = F.lit(1.0) - F.least(F.abs(stop - 0.2) * 2.0, F.lit(1.0))
+    return F.round((len_ok + punct_ok + stop_ok) / 3.0, round_to)
+
+
+def lang_guess(text: Column) -> Column:
+    """Stopword-marker language heuristic: most-hit marker set wins;
+    ties and no-hits resolve to 'und'. Pure Column algebra."""
+    toks = F.split(F.lower(F.trim(text)), "\\s+")
+    scores = [
+        (lang, F.size(F.filter(toks, lambda t, ms=markers: t.isin(*ms))))
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # reverse order => earlier languages win ties deterministically
+    for lang, s in reversed(scores):
+        out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of casefolded, whitespace-collapsed text.
+    Stable across engines (md5 is bit-exact everywhere)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+    return F.md5(norm)
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Array of character n-grams of the normalized text (shingles for
+    MinHash/Jaccard)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+    ln = F.length(norm)
+    return F.when(ln < n, F.array(norm)).otherwise(
+        F.transform(F.sequence(F.lit(1), ln - n + 1),
+                    lambda i: norm.substr(i, F.lit(n))))
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Array of word n-gram strings (for n-gram Jaccard near-dup)."""
+    toks = F.split(F.lower(F.trim(text)), "\\s+")
+    cnt = F.size(toks)
+    return F.when(cnt < n, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(F.sequence(F.lit(0), cnt - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " ")))

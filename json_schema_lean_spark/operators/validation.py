@@ -1,0 +1,288 @@
+"""Validation runners: columnar (scale path) + Arrow batch (dynamic path).
+
+Parity: the reference's run loop (/root/reference/Harness/Harness.lean:7-26)
+compiles a schema once per case and maps it over instances; here the compile
+happens once per RUN on the driver and the map is a Catalyst plan over the
+whole table.
+
+Two routes, chosen by input shape (SURVEY.md §1.4):
+
+- ``validate_dataframe`` — statically-typed (shredded) tables: the schema is
+  lowered to native Column expressions (compiler.ColumnarCompiler). Whole-stage
+  codegen, zero Python per row. This is the 100 TB path.
+- ``validate_json_column`` — dynamic JSON string columns (e.g. the events
+  table's ``props``, or JSON-Schema-Test-Suite replay where instances are
+  arbitrary JSON): a vectorized pandas UDF carrying a CompiledValidator in its
+  closure (compiled once per executor, Arrow batch transfer — never a
+  row-at-a-time Python UDF).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StructType
+
+from pyspark.sql.types import ArrayType
+
+from ..compiler import VIOLATION_SCHEMA, ColumnarCompiler, CompileFallback
+from ..interpreter import DEFAULT_FUEL, CompiledValidator
+from ..schema_ast import SchemaObject, parse_schema
+
+RESULT_SCHEMA = (
+    "struct<valid:boolean,"
+    "violations:array<struct<keyword:string,json_pointer:string,message:string>>>"
+)
+
+
+def validate_dataframe(
+    df: DataFrame,
+    schema_json: Any,
+    doc_col: Optional[str] = None,
+    registry: Optional[dict[str, Any]] = None,
+    uri: str = "",
+) -> DataFrame:
+    """Columnar validation. Adds ``valid`` (boolean) and ``violations``
+    (array<struct<keyword,json_pointer,message>>) columns.
+
+    doc_col=None treats the whole row as the instance object (shredded
+    document); otherwise the named struct/array/scalar column is validated.
+    """
+    comp = ColumnarCompiler(schema_json, uri=uri, registry=registry)
+    if doc_col is None:
+        instance = F.struct(*[F.col(c) for c in df.columns])
+        dtype = StructType([f for f in df.schema.fields])
+    else:
+        instance = F.col(doc_col)
+        dtype = df.schema[doc_col].dataType
+    low = comp.lower(dtype)
+    valid = low.valid(instance)
+    # violations are gated behind the cheap fused verdict: Catalyst's
+    # conditional evaluation skips the (much larger) collector expression for
+    # every passing row — at 100 TB virtually all rows are valid and pay only
+    # the boolean predicate.
+    return df.withColumns({
+        "valid": valid,
+        "violations": F.when(valid, F.array().cast(VIOLATION_SCHEMA))
+                       .otherwise(low.violations(instance, F.lit(""))),
+    })
+
+
+def validate_documents_exploded(
+    df: DataFrame,
+    schema_json: Any,
+    spans_col: str = "spans",
+    registry: Optional[dict[str, Any]] = None,
+    uri: str = "",
+    keep_cols: Optional[list[str]] = None,
+) -> DataFrame:
+    """Explode-strategy validation for the north_rule input shape
+    (scalar doc columns + ONE array<struct> column with Single-items
+    semantics). Output schema matches ``validate_dataframe``.
+
+    Why a second strategy: lambda higher-order functions (forall/transform)
+    are NOT whole-stage-codegen'd in Spark — they evaluate interpreted per
+    element. posexplode + flat predicates keep the heavy per-span keyword
+    work inside codegen, then re-aggregate verdicts per row. Measured 6-10x
+    faster than the forall plan at sf0.1 (629k vs 60k docs/s warm). The
+    shuffle moves only (row-key, verdict, violations) — a tiny fraction of
+    input bytes at 100 TB — with map-side partial aggregation; AQE coalesces
+    and splits skewed reducers.
+    """
+    parsed = parse_schema(schema_json)
+    if not isinstance(parsed, SchemaObject) or parsed.properties is None:
+        raise CompileFallback("explode strategy needs an object schema")
+    spans_schema = dict((parsed.raw or {}).get("properties", {}))
+    span_prop = spans_schema.pop(spans_col, None)
+    if span_prop is None or not isinstance(df.schema[spans_col].dataType, ArrayType):
+        raise CompileFallback("explode strategy needs an array column")
+    items = span_prop.get("items")
+    if items is None or isinstance(items, list):
+        raise CompileFallback("explode strategy needs Single-items semantics")
+
+    # --- doc-level plan: same schema minus the spans items subschema -------
+    doc_schema_json = dict(parsed.raw)
+    doc_props = dict(doc_schema_json.get("properties", {}))
+    span_prop_doc = dict(span_prop)
+    span_prop_doc.pop("items", None)  # array-size keywords stay doc-level
+    doc_props[spans_col] = span_prop_doc
+    doc_schema_json["properties"] = doc_props
+    doc_comp = ColumnarCompiler(doc_schema_json, uri=uri, registry=registry)
+    doc_dtype = StructType([f for f in df.schema.fields])
+    doc_low = doc_comp.lower(doc_dtype)
+
+    # --- span-level plan: items subschema against the element struct -------
+    # $refs inside items resolve against the ORIGINAL root schema registry
+    elem_comp = ColumnarCompiler(
+        {**{k: v for k, v in (parsed.raw or {}).items()
+            if k in ("$id", "definitions", "$defs")}, **({"allOf": [items]})},
+        uri=uri, registry=registry)
+    elem_t = df.schema[spans_col].dataType.elementType
+    elem_low = elem_comp.lower(elem_t)
+
+    # doc-level checks are row-local: evaluate them BEFORE the explode so the
+    # document (and its spans array) is never duplicated per span row. Only
+    # light columns (keep_cols, doc verdict, doc violations) ride through the
+    # generator; the shuffle payload is per-doc verdicts, not document bytes.
+    instance = F.struct(*[F.col(c) for c in df.columns])
+    doc_valid = F.coalesce(doc_low.valid(instance), F.lit(False))
+    doc_viols = F.when(doc_valid, F.array().cast(VIOLATION_SCHEMA)) \
+                 .otherwise(doc_low.violations(instance, F.lit("")))
+    keep = [c for c in (keep_cols if keep_cols is not None else [df.columns[0]])
+            if c != spans_col]
+    pre = df.select(F.monotonically_increasing_id().alias("_rid"),
+                    *keep,
+                    doc_valid.alias("_dok"), doc_viols.alias("_dviols"),
+                    F.col(spans_col).alias("_spans"))
+    base = pre.select("_rid", *keep, "_dok", "_dviols",
+                      F.posexplode_outer("_spans").alias("_pos", "_span"))
+
+    span_valid = F.when(F.col("_pos").isNull(), F.lit(True)) \
+                  .otherwise(F.coalesce(elem_low.valid(F.col("_span")), F.lit(False)))
+    span_viols = F.when(span_valid, F.array().cast(VIOLATION_SCHEMA)) \
+                  .otherwise(elem_low.violations(
+                      F.col("_span"),
+                      F.concat(F.lit(f"/{spans_col}/"), F.col("_pos").cast("string"))))
+
+    per_row = (base
+               .select("_rid", *keep, "_dok", "_dviols", "_pos",
+                       span_valid.alias("_sv"), span_viols.alias("_svv"))
+               .groupBy("_rid")
+               .agg(*[F.first(c).alias(c) for c in keep],
+                    F.first("_dok").alias("_dok"),
+                    F.first("_dviols").alias("_dviols"),
+                    F.min(F.col("_sv").cast("int")).alias("_all_ok"),
+                    # collect (pos, viols) pairs, order by pos for determinism
+                    F.flatten(F.transform(
+                        F.array_sort(F.collect_list(
+                            F.when(F.size("_svv") > 0,
+                                   F.struct(F.col("_pos").alias("p"),
+                                            F.col("_svv").alias("v"))))),
+                        lambda e: e.getField("v"))).alias("_sviols")))
+
+    valid = F.col("_dok") & (F.col("_all_ok") == 1)
+    viols = F.concat(F.col("_dviols"),
+                     F.coalesce(F.col("_sviols"), F.array().cast(VIOLATION_SCHEMA)))
+    return per_row.select(*keep, valid.alias("valid"),
+                          F.coalesce(viols, F.array().cast(VIOLATION_SCHEMA))
+                           .alias("violations"))
+
+
+def violation_rows(validated: DataFrame, id_cols: list[str],
+                   span_field: str = "spans") -> DataFrame:
+    """Explode violations to one row each:
+    (id..., span_idx, keyword, json_pointer, message).
+
+    span_idx is parsed from the RFC 6901 pointer (null when the violation is
+    not span-scoped) — the BASELINE.json violation-row shape.
+    """
+    v = validated.where(~F.col("valid")).select(
+        *id_cols, F.explode("violations").alias("v"))
+    return v.select(
+        *id_cols,
+        F.nullif(
+            F.regexp_extract(F.col("v.json_pointer"),
+                             f"^/{span_field}/(\\d+)", 1), F.lit("")
+        ).cast("int").alias("span_idx"),
+        F.col("v.keyword").alias("keyword"),
+        F.col("v.json_pointer").alias("json_pointer"),
+        F.col("v.message").alias("message"),
+    )
+
+
+def json_validator_udf(schema_json: Any, registry: Optional[dict[str, Any]] = None,
+                       uri: str = "", fuel: int = DEFAULT_FUEL,
+                       collect_all: bool = True):
+    """Vectorized pandas UDF: json-string column -> struct(valid, violations).
+
+    The CompiledValidator is built lazily ONCE per executor process (the
+    reference recompiles nothing per value either — compile-once semantics,
+    Harness/Harness.lean:15-16) and regexes are cached in its closure.
+    """
+    state: dict[str, CompiledValidator] = {}
+
+    def _get() -> CompiledValidator:
+        if "v" not in state:
+            state["v"] = CompiledValidator(schema_json, uri=uri,
+                                           registry=registry, fuel=fuel)
+        return state["v"]
+
+    @pandas_udf(RESULT_SCHEMA)
+    def _validate(batch: pd.Series) -> pd.DataFrame:
+        v = _get()
+        valids: list[Optional[bool]] = []
+        viols: list[Optional[list]] = []
+        for raw in batch:
+            if raw is None:
+                valids.append(None)
+                viols.append(None)
+                continue
+            try:
+                value = json.loads(raw)
+            except (ValueError, TypeError):
+                valids.append(False)
+                viols.append([("$parse", "", "invalid JSON")])
+                continue
+            vs = v.validate(value, collect_all=collect_all)
+            valids.append(not vs)
+            viols.append([(x.keyword, x.json_pointer, x.message) for x in vs])
+        return pd.DataFrame({"valid": valids, "violations": viols})
+
+    return _validate
+
+
+def validate_json_column(df: DataFrame, json_col: str, schema_json: Any,
+                         registry: Optional[dict[str, Any]] = None,
+                         uri: str = "", fuel: int = DEFAULT_FUEL) -> DataFrame:
+    """Arrow-batch validation of a JSON string column. Adds valid/violations."""
+    udf = json_validator_udf(schema_json, registry=registry, uri=uri, fuel=fuel)
+    res = udf(F.col(json_col))
+    return df.withColumns({
+        "valid": res.getField("valid"),
+        "violations": res.getField("violations"),
+    })
+
+
+def suite_validator_udf(fuel: int = DEFAULT_FUEL):
+    """(schema_json_str, instance_json_str) -> valid. Replays
+    JSON-Schema-Test-Suite-shaped fixture tables through the Spark path in a
+    single job; validators are cached per distinct schema per executor
+    (parity: compile-once-per-case, Harness/Harness.lean:15-16)."""
+    cache: dict[str, CompiledValidator] = {}
+
+    @pandas_udf("boolean")
+    def _run(schemas: pd.Series, instances: pd.Series) -> pd.Series:
+        out: list[Optional[bool]] = []
+        for s_raw, i_raw in zip(schemas, instances):
+            if s_raw is None or i_raw is None:
+                out.append(None)
+                continue
+            v = cache.get(s_raw)
+            if v is None:
+                v = cache.setdefault(s_raw, CompiledValidator(json.loads(s_raw), fuel=fuel))
+            out.append(v.is_valid(json.loads(i_raw)))
+        return pd.Series(out, dtype="boolean")
+
+    return _run
+
+
+def validate_auto(df: DataFrame, schema_json: Any, doc_col: Optional[str] = None,
+                  registry: Optional[dict[str, Any]] = None, uri: str = "") -> DataFrame:
+    """Columnar when lowerable, Arrow fallback otherwise (route recorded in
+    the plan via a literal marker column)."""
+    try:
+        out = validate_dataframe(df, schema_json, doc_col=doc_col,
+                                 registry=registry, uri=uri)
+        return out.withColumn("_route", F.lit("columnar"))
+    except CompileFallback:
+        inst = F.to_json(F.struct(*[F.col(c) for c in df.columns])) \
+            if doc_col is None else F.to_json(F.col(doc_col))
+        tmp = df.withColumn("_json", inst)
+        out = validate_json_column(tmp, "_json", schema_json,
+                                   registry=registry, uri=uri)
+        return out.drop("_json").withColumn("_route", F.lit("arrow"))

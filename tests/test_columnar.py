@@ -1,0 +1,129 @@
+"""Columnar compiler vs pure-Python interpreter: verdicts must agree.
+
+The shredded-struct mapping treats a NULL field as an absent JSON key
+(SURVEY.md §1.4), so rows are converted to plain JSON by dropping nulls
+before feeding the interpreter.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_lean_spark.compiler import ColumnarCompiler, CompileFallback
+from json_schema_lean_spark.interpreter import CompiledValidator
+from json_schema_lean_spark.operators.validation import (
+    validate_dataframe,
+    violation_rows,
+)
+from json_schema_lean_spark.sources.spansgen import SPAN_SCHEMA, spans_documents
+
+
+def row_to_json(row):
+    def clean(v):
+        if isinstance(v, dict):
+            return {k: clean(x) for k, x in v.items() if x is not None}
+        if isinstance(v, list):
+            return [clean(x) for x in v]
+        return v
+    return clean(row.asDict(recursive=True))
+
+
+@pytest.fixture(scope="module")
+def validated(spark):
+    docs = spans_documents(spark, 1200)
+    return validate_dataframe(docs, SPAN_SCHEMA).collect()
+
+
+def test_columnar_matches_interpreter(validated):
+    ref = CompiledValidator(SPAN_SCHEMA)
+    mismatches = []
+    for row in validated:
+        doc = {k: v for k, v in row_to_json(row).items() if k in ("doc_id", "spans")}
+        expected = ref.is_valid(doc)
+        if expected != row["valid"]:
+            mismatches.append((row["doc_id"], expected, row["valid"]))
+    assert not mismatches, mismatches[:5]
+
+
+def test_columnar_violation_keywords_match_interpreter(validated):
+    ref = CompiledValidator(SPAN_SCHEMA)
+    for row in validated:
+        if row["valid"]:
+            continue
+        doc = {k: v for k, v in row_to_json(row).items() if k in ("doc_id", "spans")}
+        expected = {(v.keyword, v.json_pointer) for v in ref.validate(doc)}
+        got = {(v["keyword"], v["json_pointer"]) for v in row["violations"]}
+        assert got == expected, (row["doc_id"], got, expected)
+
+
+def test_injected_violation_rates(spark):
+    n = 4000
+    docs = spans_documents(spark, n)
+    out = validate_dataframe(docs, SPAN_SCHEMA)
+    counts = dict(
+        violation_rows(out, ["doc_id"]).groupBy("keyword").count().collect())
+    # required: bucket 0-4 => ~0.5% of docs
+    assert 0.002 * n < counts.get("required", 0) < 0.009 * n
+    # minLength (empty text): bucket 5-14 => ~1%
+    assert 0.005 * n < counts.get("minLength", 0) < 0.016 * n
+
+
+def test_duplicated_doc_ids_present(spark):
+    docs = spans_documents(spark, 4000)
+    dups = (docs.groupBy("doc_id").count().where(F.col("count") > 1)).count()
+    assert dups > 0
+
+
+def test_determinism(spark):
+    a = spans_documents(spark, 300).orderBy("doc_id").collect()
+    b = spans_documents(spark, 300).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_compile_fallback_on_python_regex(spark):
+    df = spark.createDataFrame([("a",)], "s: string")
+    with pytest.raises(CompileFallback):
+        validate_dataframe(df, {"properties": {"s": {"pattern": "(?P<x>a)"}}})
+
+
+def test_cycle_rejected_at_compile_time():
+    cyc = {"definitions": {"A": {"allOf": [{"$ref": "#/definitions/B"}]},
+                           "B": {"allOf": [{"$ref": "#/definitions/A"}]}},
+           "$ref": "#/definitions/A"}
+    from json_schema_lean_spark.resolver import SchemaCycleError
+    with pytest.raises(SchemaCycleError):
+        ColumnarCompiler(cyc)
+
+
+def test_explode_strategy_matches_forall(spark):
+    from json_schema_lean_spark.operators.validation import validate_documents_exploded
+
+    docs = spans_documents(spark, 800)
+
+    def canon(rows):
+        return sorted(
+            (r["doc_id"], r["valid"],
+             tuple(sorted((v["keyword"], v["json_pointer"]) for v in r["violations"])))
+            for r in rows)
+
+    a = canon(validate_dataframe(docs, SPAN_SCHEMA)
+              .select("doc_id", "valid", "violations").collect())
+    b = canon(validate_documents_exploded(docs, SPAN_SCHEMA).collect())
+    assert a == b
+
+
+def test_scalar_keywords_columnar(spark):
+    df = spark.createDataFrame(
+        [(1, "abc", 4.0), (-2, "x", 3.5), (7, "abcdef", 9.0)],
+        "n: long, s: string, d: double")
+    schema = {
+        "properties": {
+            "n": {"type": "integer", "minimum": 0, "multipleOf": 1},
+            "s": {"minLength": 2, "maxLength": 5, "pattern": "^a"},
+            "d": {"type": "integer", "maximum": 8},
+        }
+    }
+    out = validate_dataframe(df, schema).select("n", "valid").collect()
+    got = {r["n"]: r["valid"] for r in out}
+    # n=-2 fails minimum; s="x" fails minLength+pattern; d=3.5 fails integer;
+    # n=7 ok but d=9 fails maximum
+    assert got == {1: True, -2: False, 7: False}
