@@ -28,8 +28,8 @@ from json_schema_lean_spark.operators.dedup import exact_dup_groups  # noqa: E40
 from json_schema_lean_spark.operators.referential import span_media_integrity  # noqa: E402
 from json_schema_lean_spark.operators.similarity import brute_force_topk  # noqa: E402
 from json_schema_lean_spark.operators.validation import (  # noqa: E402
-    validate_documents_exploded,
     validate_json_column,
+    validate_spans_best,
 )
 from json_schema_lean_spark.sources.spansgen import (  # noqa: E402
     SPAN_SCHEMA,
@@ -62,6 +62,7 @@ def main() -> None:
         .appName("json-schema-lean-spark-bench")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -86,7 +87,7 @@ def main() -> None:
     spans = spark.read.parquet(spans_path)
 
     t0 = time.perf_counter()
-    validated = validate_documents_exploded(spans, SPAN_SCHEMA)
+    validated = validate_spans_best(spans, SPAN_SCHEMA, keep_cols=["doc_id"])
     n_valid = validated.select(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("valid").cast("long")).alias("ok")).collect()[0]

@@ -1,0 +1,176 @@
+"""Checkpointed, resumable validation runs (north_rule mandate; no reference
+analog — the reference is a one-shot stdin loop, Harness/Harness.lean:42-57).
+
+Unit of work = a group of input parquet files (the Parquet surrogate for an
+Iceberg partition; with a real Iceberg catalog the unit becomes a partition
+of a pinned snapshot-id and the lineage slot carries that snapshot). Each
+completed unit commits
+
+- its verdict/violation output under ``<out_dir>/parts/<unit_id>/``, and
+- a manifest entry ``<out_dir>/manifest/<unit_id>.json`` (written atomically
+  via temp+rename) carrying lineage (run_id, input content surrogate,
+  validator version, schema hash, partition spec) and metrics (rows scanned,
+  valid rows, violations, stage seconds).
+
+Resume = list units, drop the ones with a committed manifest entry whose
+lineage matches, process the rest. A killed job therefore replays ONLY
+unfinished units, and the combined output is row-identical to a fresh run
+(span sequences included) — asserted in tests/test_checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import __version__
+from .operators.validation import validate_documents_exploded
+
+
+def _schema_hash(schema_json: Any) -> str:
+    return hashlib.sha256(
+        json.dumps(schema_json, sort_keys=True, separators=(",", ":")).encode()
+    ).hexdigest()[:16]
+
+
+def _file_surrogate(paths: list[str]) -> str:
+    """Content surrogate for the Iceberg snapshot-id slot: hash of the
+    sorted (path, size) list. Cheap, deterministic, catches file swaps."""
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        h.update(p.encode())
+        h.update(str(os.path.getsize(p)).encode())
+    return h.hexdigest()[:16]
+
+
+def list_input_files(input_path: str) -> list[str]:
+    return sorted(
+        os.path.join(input_path, f) for f in os.listdir(input_path)
+        if f.endswith(".parquet") and not f.startswith("_"))
+
+
+def plan_units(files: list[str], files_per_unit: int = 32) -> list[tuple[str, list[str]]]:
+    units = []
+    for i in range(0, len(files), files_per_unit):
+        chunk = files[i:i + files_per_unit]
+        units.append((f"unit-{i // files_per_unit:05d}", chunk))
+    return units
+
+
+@dataclass
+class RunReport:
+    run_id: str
+    units_total: int
+    units_skipped: int
+    units_processed: int
+    rows: int
+    valid: int
+    violations: int
+
+
+class CheckpointedValidation:
+    def __init__(self, spark: SparkSession, input_path: str, schema_json: Any,
+                 out_dir: str, spans_col: str = "spans",
+                 keep_cols: Optional[list[str]] = None,
+                 files_per_unit: int = 32, run_id: str = "run-0") -> None:
+        self.spark = spark
+        self.input_path = input_path
+        self.schema_json = schema_json
+        self.out_dir = out_dir
+        self.spans_col = spans_col
+        self.keep_cols = keep_cols
+        self.files_per_unit = files_per_unit
+        self.run_id = run_id
+        self.validator_version = __version__
+        self.schema_hash = _schema_hash(schema_json)
+        os.makedirs(f"{out_dir}/manifest", exist_ok=True)
+        os.makedirs(f"{out_dir}/parts", exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+
+    def _manifest_path(self, unit_id: str) -> str:
+        return f"{self.out_dir}/manifest/{unit_id}.json"
+
+    def _completed(self, unit_id: str, surrogate: str) -> bool:
+        path = self._manifest_path(unit_id)
+        if not os.path.exists(path):
+            return False
+        try:
+            entry = json.loads(open(path).read())
+        except ValueError:
+            return False  # torn write: redo the unit
+        return (entry.get("input_surrogate") == surrogate
+                and entry.get("schema_hash") == self.schema_hash
+                and entry.get("validator_version") == self.validator_version)
+
+    def _commit(self, unit_id: str, entry: dict) -> None:
+        path = self._manifest_path(unit_id)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f, indent=1)
+        os.replace(tmp, path)  # atomic commit
+
+    # -- run -----------------------------------------------------------------
+
+    def run(self, max_units: Optional[int] = None) -> RunReport:
+        """Process unfinished units (up to max_units — used to simulate a
+        kill). Each unit is one distributed Spark job over its file group."""
+        files = list_input_files(self.input_path)
+        units = plan_units(files, self.files_per_unit)
+        skipped = processed = rows = valid = viols = 0
+        for unit_id, chunk in units:
+            surrogate = _file_surrogate(chunk)
+            if self._completed(unit_id, surrogate):
+                skipped += 1
+                continue
+            if max_units is not None and processed >= max_units:
+                break
+            t0 = time.perf_counter()
+            df = self.spark.read.parquet(*chunk)
+            out = validate_documents_exploded(
+                df, self.schema_json, spans_col=self.spans_col,
+                keep_cols=self.keep_cols)
+            part_path = f"{self.out_dir}/parts/{unit_id}"
+            out.write.mode("overwrite").parquet(part_path)
+            m = (self.spark.read.parquet(part_path)
+                 .agg(F.count(F.lit(1)).alias("rows"),
+                      F.sum(F.col("valid").cast("long")).alias("valid"),
+                      F.sum(F.size("violations").cast("long")).alias("viols"))
+                 .collect()[0])
+            self._commit(unit_id, {
+                "run_id": self.run_id,
+                "unit_id": unit_id,
+                "input_files": chunk,
+                "input_surrogate": surrogate,
+                "partition_spec": f"files[{self.files_per_unit}]",
+                "validator_version": self.validator_version,
+                "schema_hash": self.schema_hash,
+                "rows_scanned": m["rows"],
+                "valid_rows": m["valid"],
+                "violations": m["viols"],
+                "stage_sec": round(time.perf_counter() - t0, 3),
+            })
+            processed += 1
+            rows += m["rows"]
+            valid += m["valid"]
+            viols += m["viols"]
+        return RunReport(self.run_id, len(units), skipped, processed,
+                         rows, valid, viols)
+
+    def results(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.out_dir}/parts/*")
+
+    def manifest(self) -> list[dict]:
+        out = []
+        mdir = f"{self.out_dir}/manifest"
+        for name in sorted(os.listdir(mdir)):
+            if name.endswith(".json"):
+                out.append(json.loads(open(os.path.join(mdir, name)).read()))
+        return out

@@ -39,10 +39,15 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def minhash_signature(shingles: Column, k: int = 32) -> Column:
     """k-permutation MinHash via salted xxhash64 of each shingle; the
-    signature is array<bigint> of per-salt minima. Fully columnar."""
+    signature is array<bigint> of per-salt minima. Fully columnar.
+
+    NB: the salt must be closed over via a factory — a default-arg lambda
+    would make pyspark treat it as an (element, index) HOF lambda."""
+    def salted(i: int):
+        return lambda s: F.xxhash64(s, F.lit(i))
+
     return F.array(*[
-        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(k)
+        F.array_min(F.transform(shingles, salted(i))) for i in range(k)
     ])
 
 
@@ -102,10 +107,15 @@ def simhash64(text: Column, ngram: int = 2) -> Column:
     hashes, entirely with integer Column ops (shiftright + bitwise AND)."""
     shingles = word_ngrams(text, ngram)
     hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+
+    # NB: default-arg lambdas break pyspark HOFs (the param count makes them
+    # look like (element, index) lambdas) — close over via a factory instead
+    def bit_set(b: int):
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
     bits = []
     for bit in range(64):
-        ones = F.size(F.filter(hashes,
-                               lambda h, b=bit: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1))
+        ones = F.size(F.filter(hashes, bit_set(bit)))
         total = F.size(hashes)
         bits.append(F.when(ones * 2 >= total, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
                      * F.lit(2 ** bit if bit < 63 else -(2 ** 63)).cast("long"))

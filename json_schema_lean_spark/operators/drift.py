@@ -1,0 +1,190 @@
+"""Distribution-drift checks vs a baseline-stats table of prior runs
+(north_star extension; FIXTURES.md §3 shape).
+
+Flow at scale: the CURRENT run bins each watched column with ONE aggregation
+pass (fixed edges from the baseline => map-side combinable `pmod`/`floor`
+bucketing, no sort); histograms are bounded-size arrays, so the KS/chi-square
+arithmetic on (current, baseline) histogram pairs is driver-side pure Python
+over collected aggregates — never a per-row operation.
+
+No scipy in the sandbox: the chi-square p-value uses a hand-rolled
+regularized incomplete gamma (series + continued fraction, standard
+Numerical-Recipes-style formulation).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# histogram aggregation (columnar, one pass)
+# ---------------------------------------------------------------------------
+
+def histogram(df: DataFrame, col: str, lo: float, hi: float, nbins: int = 32) -> list[int]:
+    """Fixed-edge histogram counts (single agg pass, returns nbins ints).
+    Values outside [lo, hi) clamp into the edge bins (standard drift-check
+    behavior so new outliers register as edge mass)."""
+    width = (hi - lo) / nbins
+    bucket = F.least(
+        F.greatest(F.floor((F.col(col).cast("double") - lo) / width), F.lit(0)),
+        F.lit(nbins - 1)).cast("int")
+    counts = (df.where(F.col(col).isNotNull())
+                .groupBy(bucket.alias("b")).agg(F.count(F.lit(1)).alias("n"))
+                .collect())
+    out = [0] * nbins
+    for r in counts:
+        out[r["b"]] = r["n"]
+    return out
+
+
+def baseline_stats(df: DataFrame, cols: list[str], run_id: str,
+                   nbins: int = 32) -> list[dict]:
+    """Build FIXTURES.md §3-shaped baseline rows for numeric columns:
+    one stats row set + histogram per column (bins from observed min/max)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.count(F.col(c)).alias(f"{c}__count"),
+                 F.avg(F.col(c)).alias(f"{c}__mean"),
+                 F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+                 F.max(F.col(c).cast("double")).alias(f"{c}__max")]
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    for c in cols:
+        lo, hi = row[f"{c}__min"], row[f"{c}__max"]
+        if lo is None or hi is None or lo == hi:
+            lo, hi = (lo or 0.0), (lo or 0.0) + 1.0
+        edges = [lo + (hi - lo) * i / nbins for i in range(nbins + 1)]
+        out.append({
+            "run_id": run_id, "column": c,
+            "count": row[f"{c}__count"], "mean": row[f"{c}__mean"],
+            "min": lo, "max": hi,
+            "hist_bins": edges, "hist_counts": histogram(df, c, lo, hi, nbins),
+        })
+    return out
+
+
+# ---------------------------------------------------------------------------
+# two-sample statistics over binned histograms (driver-side, bounded size)
+# ---------------------------------------------------------------------------
+
+def ks_from_histograms(a: list[int], b: list[int]) -> float:
+    """Two-sample KS statistic from two aligned histograms: max CDF gap."""
+    na, nb = sum(a), sum(b)
+    if na == 0 or nb == 0:
+        return 0.0
+    ca = cb = 0
+    best = 0.0
+    for x, y in zip(a, b):
+        ca += x
+        cb += y
+        best = max(best, abs(ca / na - cb / nb))
+    return best
+
+
+def ks_significant(d: float, na: int, nb: int, alpha: float = 0.01) -> bool:
+    """Asymptotic two-sample KS critical test."""
+    if na == 0 or nb == 0:
+        return False
+    c_alpha = math.sqrt(-0.5 * math.log(alpha / 2.0))
+    return d > c_alpha * math.sqrt((na + nb) / (na * nb))
+
+
+def chi_square_from_histograms(observed: list[int], expected: list[int]) -> tuple[float, int]:
+    """Chi-square statistic of observed vs expected (expected rescaled to the
+    observed total; zero-expected bins merged into their neighbor)."""
+    n_obs, n_exp = sum(observed), sum(expected)
+    if n_obs == 0 or n_exp == 0:
+        return 0.0, 0
+    scale = n_obs / n_exp
+    stat = 0.0
+    dof = -1
+    carry_o = carry_e = 0.0
+    for o, e in zip(observed, expected):
+        carry_o += o
+        carry_e += e * scale
+        if carry_e >= 5:  # merge sparse bins (standard validity rule)
+            stat += (carry_o - carry_e) ** 2 / carry_e
+            dof += 1
+            carry_o = carry_e = 0.0
+    if carry_e > 0:
+        stat += (carry_o - carry_e) ** 2 / carry_e
+        dof += 1
+    return stat, max(dof, 1)
+
+
+def _gammainc_upper_reg(s: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(s, x) via series / continued
+    fraction (double precision, adequate for p-values)."""
+    if x < 0 or s <= 0:
+        return 1.0
+    if x == 0:
+        return 1.0
+    if x < s + 1:
+        # lower series
+        term = 1.0 / s
+        total = term
+        k = s
+        for _ in range(500):
+            k += 1
+            term *= x / k
+            total += term
+            if abs(term) < abs(total) * 1e-15:
+                break
+        p = total * math.exp(-x + s * math.log(x) - math.lgamma(s))
+        return max(0.0, 1.0 - p)
+    # continued fraction for Q
+    tiny = 1e-300
+    b = x + 1 - s
+    c = 1 / tiny
+    d = 1 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - s)
+        b += 2
+        d = an * d + b
+        d = tiny if abs(d) < tiny else d
+        c = b + an / c
+        c = tiny if abs(c) < tiny else c
+        d = 1 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1) < 1e-15:
+            break
+    return h * math.exp(-x + s * math.log(x) - math.lgamma(s))
+
+
+def chi_square_pvalue(stat: float, dof: int) -> float:
+    return _gammainc_upper_reg(dof / 2.0, stat / 2.0)
+
+
+def drift_report(current: DataFrame, baseline_rows: list[dict],
+                 alpha: float = 0.01) -> list[dict]:
+    """Compare the current table against baseline rows (from baseline_stats).
+    Returns one dict per column with KS + chi-square verdicts."""
+    out = []
+    for base in baseline_rows:
+        c = base["column"]
+        edges = base["hist_bins"]
+        lo, hi, nbins = edges[0], edges[-1], len(edges) - 1
+        cur_hist = histogram(current, c, lo, hi, nbins)
+        ks = ks_from_histograms(cur_hist, base["hist_counts"])
+        chi, dof = chi_square_from_histograms(cur_hist, base["hist_counts"])
+        pval = chi_square_pvalue(chi, dof)
+        out.append({
+            "column": c,
+            "ks_stat": round(ks, 6),
+            "ks_drifted": ks_significant(ks, sum(cur_hist),
+                                         sum(base["hist_counts"]), alpha),
+            "chi2_stat": round(chi, 6),
+            "chi2_dof": dof,
+            "chi2_pvalue": round(pval, 9),
+            "chi2_drifted": pval < alpha,
+            "n_current": sum(cur_hist),
+            "n_baseline": sum(base["hist_counts"]),
+        })
+    return out

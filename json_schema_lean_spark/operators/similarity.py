@@ -58,16 +58,19 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16,
     """Random-hyperplane LSH bit signature as a bigint. The 'random'
     hyperplanes are deterministic hash-derived ±1 weights (no RNG state,
     reproducible across runs/executors)."""
+    def plane_weights(p: int):
+        # weight for (plane p, dim i): ±1 from xxhash64(seed, p, i); factory
+        # closure (default-arg lambdas break pyspark HOF param counting)
+        return lambda i: F.when(
+            F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 0,
+            F.lit(1.0)).otherwise(F.lit(-1.0))
+
     bits = []
     for p in range(n_planes):
-        # weight for (plane p, dim i): ±1 from xxhash64(p, i)
         proj = F.aggregate(
             F.zip_with(vec,
                        F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
-                                   lambda i, pp=p: F.when(
-                                       F.pmod(F.xxhash64(F.lit(seed), F.lit(pp), i),
-                                              F.lit(2)) == 0,
-                                       F.lit(1.0)).otherwise(F.lit(-1.0))),
+                                   plane_weights(p)),
                        lambda x, w: x * w),
             F.lit(0.0), lambda acc, v: acc + v)
         bits.append(F.when(proj >= 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long")))

@@ -65,8 +65,14 @@ def lang_guess(text: Column) -> Column:
     """Stopword-marker language heuristic: most-hit marker set wins;
     ties and no-hits resolve to 'und'. Pure Column algebra."""
     toks = F.split(F.lower(F.trim(text)), "\\s+")
+
+    # NB: default-arg lambdas break pyspark HOFs (the param count makes them
+    # look like (element, index) lambdas) — close over via a factory instead
+    def hits(markers: list[str]):
+        return lambda t: t.isin(*markers)
+
     scores = [
-        (lang, F.size(F.filter(toks, lambda t, ms=markers: t.isin(*ms))))
+        (lang, F.size(F.filter(toks, hits(markers))))
         for lang, markers in _LANG_MARKERS.items()
     ]
     best = F.greatest(*[s for _, s in scores])

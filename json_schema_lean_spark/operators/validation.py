@@ -133,13 +133,18 @@ def validate_documents_exploded(
     doc_valid = F.coalesce(doc_low.valid(instance), F.lit(False))
     doc_viols = F.when(doc_valid, F.array().cast(VIOLATION_SCHEMA)) \
                  .otherwise(doc_low.violations(instance, F.lit("")))
-    keep = [c for c in (keep_cols if keep_cols is not None else [df.columns[0]])
-            if c != spans_col]
+    requested = keep_cols if keep_cols is not None else [df.columns[0]]
+    keep = [c for c in requested if c != spans_col]
+    # opting the spans column into the output carries the array through the
+    # explode (one copy per span row) — correct but heavier; default keeps
+    # only light id columns, which is the 100 TB-appropriate contract
+    keep_spans = spans_col in requested
     pre = df.select(F.monotonically_increasing_id().alias("_rid"),
                     *keep,
                     doc_valid.alias("_dok"), doc_viols.alias("_dviols"),
                     F.col(spans_col).alias("_spans"))
     base = pre.select("_rid", *keep, "_dok", "_dviols",
+                      *(["_spans"] if keep_spans else []),
                       F.posexplode_outer("_spans").alias("_pos", "_span"))
 
     span_valid = F.when(F.col("_pos").isNull(), F.lit(True)) \
@@ -151,9 +156,11 @@ def validate_documents_exploded(
 
     per_row = (base
                .select("_rid", *keep, "_dok", "_dviols", "_pos",
+                       *(["_spans"] if keep_spans else []),
                        span_valid.alias("_sv"), span_viols.alias("_svv"))
                .groupBy("_rid")
                .agg(*[F.first(c).alias(c) for c in keep],
+                    *([F.first("_spans").alias(spans_col)] if keep_spans else []),
                     F.first("_dok").alias("_dok"),
                     F.first("_dviols").alias("_dviols"),
                     F.min(F.col("_sv").cast("int")).alias("_all_ok"),
@@ -168,7 +175,9 @@ def validate_documents_exploded(
     valid = F.col("_dok") & (F.col("_all_ok") == 1)
     viols = F.concat(F.col("_dviols"),
                      F.coalesce(F.col("_sviols"), F.array().cast(VIOLATION_SCHEMA)))
-    return per_row.select(*keep, valid.alias("valid"),
+    return per_row.select(*keep,
+                          *([spans_col] if keep_spans else []),
+                          valid.alias("valid"),
                           F.coalesce(viols, F.array().cast(VIOLATION_SCHEMA))
                            .alias("violations"))
 
@@ -246,6 +255,32 @@ def validate_json_column(df: DataFrame, json_col: str, schema_json: Any,
         "valid": res.getField("valid"),
         "violations": res.getField("violations"),
     })
+
+
+def validate_spans_best(df: DataFrame, schema_json: Any,
+                        spans_col: str = "spans",
+                        registry: Optional[dict[str, Any]] = None,
+                        uri: str = "",
+                        keep_cols: Optional[list[str]] = None) -> DataFrame:
+    """Best-available strategy chain for spans-shaped document tables:
+    fused-array (codegen, zero shuffle) -> explode+agg (codegen, verdict
+    shuffle) -> forall projection (interpreted HOF, zero shuffle). All three
+    are verdict- and violation-equivalent (pytest-pinned)."""
+    from ..plans.fused import FusedUnsupported, validate_documents_fused
+    try:
+        return validate_documents_fused(df, schema_json, spans_col=spans_col,
+                                        registry=registry, uri=uri,
+                                        keep_cols=keep_cols)
+    except FusedUnsupported:
+        pass
+    try:
+        return validate_documents_exploded(df, schema_json, spans_col=spans_col,
+                                           registry=registry, uri=uri,
+                                           keep_cols=keep_cols)
+    except CompileFallback:
+        out = validate_dataframe(df, schema_json, registry=registry, uri=uri)
+        keep = keep_cols if keep_cols is not None else list(df.columns)
+        return out.select(*keep, "valid", "violations")
 
 
 def suite_validator_udf(fuel: int = DEFAULT_FUEL):

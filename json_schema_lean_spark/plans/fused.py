@@ -1,0 +1,298 @@
+"""Fused-array verdict plan: the fastest execution strategy for the
+north_rule document shape (scalar doc columns + one array<struct> spans
+column, Single-items schema).
+
+Motivation (measured, see BENCH/BASELINE.md): Spark does NOT whole-stage-
+codegen lambda higher-order functions (forall/transform/exists) — they run
+interpreted per element — and the explode+agg strategy pays a shuffle. But
+the non-lambda collection expressions (array_min, array_max, array_compact,
+array_except, array_contains, size, array_join) ARE codegen'd. For the
+keyword subset they can express, per-span checks compile to pure vectorized
+array algebra over the shredded field arrays (``spans.kind`` extracts
+array<string> via GetArrayStructFields — also codegen'd):
+
+    required k     -> size(array_compact(spans.k)) == size(spans)
+    enum on k      -> size(array_except(array_compact(spans.k), lit)) == 0
+    minimum m on k -> coalesce(array_min(spans.k) >= m, true)   (nulls skip)
+    maximum m on k -> coalesce(array_max(spans.k) <= m, true)
+    minLength 1    -> !array_contains(array_compact(spans.k), '')
+    pattern ^lit   -> newline-join + one regexp over the joined string, with
+                      a per-row HOF fallback branch for elements containing
+                      a newline (lazily evaluated only for such rows)
+
+Measured ~1.8M docs/s at 32 cores vs ~300k for explode+agg on the same input.
+
+Verdicts come from the fused expression; VIOLATION DETAIL is produced by the
+general forall plan gated behind the fused verdict — Catalyst's conditional
+evaluation means only failing rows (rare at production quality rates) ever
+evaluate the interpreted collector. One scan, zero shuffle, full detail.
+
+Schemas outside the supported subset raise :class:`FusedUnsupported`; callers
+fall back to ``validate_documents_exploded`` (shuffle, full keyword coverage)
+or the forall plan.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    StringType,
+    StructType,
+)
+
+from ..compiler import (
+    VIOLATION_SCHEMA,
+    ColumnarCompiler,
+    _FRACTIONAL,
+    _INTEGRAL,
+    _static_type_names,
+)
+from ..resolver import resolve_uri
+from ..schema_ast import ABSENT, Schema, SchemaObject, parse_schema
+
+
+class FusedUnsupported(Exception):
+    """Schema/keyword outside the fused subset — use a general strategy."""
+
+
+#: pattern of patterns we can fuse: anchored literal prefix, no metachars
+_PREFIX_LITERAL = re.compile(r"^\^[A-Za-z0-9_\-:/ .@]+$")
+
+
+def _resolve_once(comp: ColumnarCompiler, schema: Schema, base_uri: str,
+                  depth: int = 0) -> tuple[Schema, str]:
+    """Follow $ref chains to a concrete schema node (compile-time inline)."""
+    while isinstance(schema, SchemaObject) and schema.ref is not None:
+        if depth > 64:
+            raise FusedUnsupported("ref chain too deep")
+        target = resolve_uri(base_uri, schema.ref)
+        root, subpath = comp.resolver.resolve_path(target)
+        got = comp.resolver.get_schema_and_uri(root, subpath)
+        if got is None:
+            raise FusedUnsupported(f"unresolvable ref {target!r}")
+        schema, base_uri = got
+        depth += 1
+    return schema, base_uri
+
+
+def fused_items_verdict(comp: ColumnarCompiler, items_schema: Schema,
+                        base_uri: str, arr: Column,
+                        elem_dtype: Any) -> Column:
+    """Verdict column: every element of `arr` satisfies `items_schema`.
+    Raises FusedUnsupported outside the expressible subset."""
+    items_schema, base_uri = _resolve_once(comp, items_schema, base_uri)
+    if items_schema is True:
+        return F.lit(True)
+    if items_schema is False:
+        return F.size(arr) == 0
+    s = items_schema
+    assert isinstance(s, SchemaObject)
+    if not isinstance(elem_dtype, StructType):
+        raise FusedUnsupported("fused items need struct elements")
+    field_type = {f.name: f.dataType for f in elem_dtype.fields}
+    n = F.size(arr)
+
+    # keywords the fused translator does not handle => bail out
+    unsupported = [
+        s.const is not ABSENT, s.enum is not None, s.pattern is not None,
+        s.max_length is not None, s.min_length is not None,
+        s.maximum is not None, s.minimum is not None,
+        s.exclusive_maximum is not None, s.exclusive_minimum is not None,
+        s.multiple_of is not None, s.unique_items,
+        s.pattern_properties is not None, s.property_names is not None,
+        s.additional_properties is not None, s.max_properties is not None,
+        s.min_properties is not None, s.dependencies is not None,
+        s.items is not None, s.additional_items is not None,
+        s.max_items is not None, s.min_items is not None,
+        s.contains is not None, s.all_of is not None, s.any_of is not None,
+        s.one_of is not None, s.not_ is not None, s.if_ is not None,
+    ]
+    if any(unsupported):
+        raise FusedUnsupported("element-level keyword outside fused subset")
+    if not ("object" in s.types or "any" in s.types):
+        raise FusedUnsupported("fused elements must be object-typed")
+
+    clauses: list[Column] = []
+
+    if s.required:
+        for k in s.required:
+            if k not in field_type:
+                clauses.append(n == 0)  # key can never be present
+            else:
+                clauses.append(F.size(F.array_compact(arr.getField(k))) == n)
+
+    for name, sub in (s.properties or []):
+        if name not in field_type:
+            continue  # field never present -> check never fires
+        sub, sub_uri = _resolve_once(comp, sub, base_uri)
+        if isinstance(sub, bool):
+            if sub:
+                continue
+            # false schema: field must never be present
+            clauses.append(F.size(F.array_compact(arr.getField(name))) == 0)
+            continue
+        clauses.extend(
+            _fused_property_clauses(sub, arr.getField(name), field_type[name]))
+
+    if not clauses:
+        return F.lit(True)
+    return reduce(lambda a, b: a & b, clauses)
+
+
+def _fused_property_clauses(s: SchemaObject, field_arr: Column,
+                            dtype: Any) -> list[Column]:
+    """Per-field keyword clauses over the extracted field array (nulls =
+    absent keys: array_compact / array_min skip them, preserving the
+    type-guard semantics)."""
+    out: list[Column] = []
+    compact = F.array_compact(field_arr)
+
+    # type: must be statically satisfied (integer refinement not fusable)
+    if "any" not in s.types:
+        static = _static_type_names(dtype)
+        if not any(t in static for t in s.types):
+            raise FusedUnsupported(f"type {s.types} vs {dtype} not fusable")
+
+    unsupported = [
+        s.const is not ABSENT, s.multiple_of is not None,
+        s.max_length is not None,
+        s.unique_items, s.properties is not None, s.items is not None,
+        s.pattern_properties is not None, s.additional_properties is not None,
+        s.dependencies is not None, s.all_of is not None, s.any_of is not None,
+        s.one_of is not None, s.not_ is not None, s.if_ is not None,
+        s.contains is not None, s.required is not None,
+        s.max_items is not None, s.min_items is not None,
+        s.max_properties is not None, s.min_properties is not None,
+        s.property_names is not None, s.additional_items is not None,
+    ]
+    if any(unsupported):
+        raise FusedUnsupported("property keyword outside fused subset")
+
+    if s.enum is not None:
+        if isinstance(dtype, StringType):
+            vals = [v for v in s.enum if isinstance(v, str)]
+        elif isinstance(dtype, _INTEGRAL + _FRACTIONAL):
+            vals = [float(v) for v in s.enum
+                    if isinstance(v, (int, float)) and not isinstance(v, bool)]
+        elif isinstance(dtype, BooleanType):
+            vals = [v for v in s.enum if isinstance(v, bool)]
+        else:
+            raise FusedUnsupported("enum over non-scalar field")
+        if not vals:
+            out.append(F.size(compact) == 0)
+        else:
+            lit_arr = F.array(*[F.lit(v) for v in vals])
+            cmp = compact.cast(f"array<double>") \
+                if isinstance(dtype, _INTEGRAL + _FRACTIONAL) else compact
+            out.append(F.size(F.array_except(cmp, lit_arr)) == 0)
+
+    if isinstance(dtype, _INTEGRAL + _FRACTIONAL):
+        d = field_arr.cast("array<double>")
+        if s.minimum is not None:
+            out.append(F.coalesce(F.array_min(d) >= s.minimum, F.lit(True)))
+        if s.maximum is not None:
+            out.append(F.coalesce(F.array_max(d) <= s.maximum, F.lit(True)))
+        if s.exclusive_minimum is not None:
+            out.append(F.coalesce(F.array_min(d) > s.exclusive_minimum, F.lit(True)))
+        if s.exclusive_maximum is not None:
+            out.append(F.coalesce(F.array_max(d) < s.exclusive_maximum, F.lit(True)))
+    elif any(x is not None for x in (s.minimum, s.maximum,
+                                     s.exclusive_minimum, s.exclusive_maximum)):
+        pass  # numeric keywords on non-numeric fields: type-guard passes
+
+    if s.min_length is not None and isinstance(dtype, StringType):
+        if s.min_length == 0:
+            pass
+        elif s.min_length == 1:
+            out.append(~F.array_contains(compact, ""))
+        else:
+            raise FusedUnsupported("minLength > 1 not fusable")
+    if s.pattern is not None and isinstance(dtype, StringType):
+        if not _PREFIX_LITERAL.match(s.pattern):
+            raise FusedUnsupported(f"pattern {s.pattern!r} not fusable")
+        prefix = s.pattern[1:]
+        joined = F.array_join(compact, "\n")
+        fast_ok = ~F.regexp_like(
+            F.concat(F.lit("\n"), joined),
+            F.lit("\n(?!" + re.escape(prefix) + ")"))
+        # join trick is only sound when no element embeds a newline; rows
+        # that do take the (lazily evaluated) per-element HOF branch
+        n_elems = F.size(compact)
+        n_lines = F.when(n_elems == 0, F.lit(0)) \
+                   .otherwise(F.size(F.split(joined, "\n")))
+        slow_ok = F.forall(compact, lambda e: e.startswith(prefix))
+        out.append(F.when(n_elems == 0, F.lit(True))
+                    .when(n_lines == n_elems, fast_ok)
+                    .otherwise(slow_ok))
+    return out
+
+
+def validate_documents_fused(
+    df: DataFrame,
+    schema_json: Any,
+    spans_col: str = "spans",
+    registry: Optional[dict[str, Any]] = None,
+    uri: str = "",
+    keep_cols: Optional[list[str]] = None,
+    with_violations: bool = True,
+) -> DataFrame:
+    """Full validation at fused speed: fused verdict + forall-plan violation
+    detail evaluated ONLY on failing rows. Output schema matches
+    ``validate_dataframe`` restricted to keep_cols (default: all columns).
+    Raises FusedUnsupported when the schema leaves the fused subset."""
+    parsed = parse_schema(schema_json)
+    if not isinstance(parsed, SchemaObject) or parsed.raw is None:
+        raise FusedUnsupported("fused plan needs an object schema")
+    props = dict((parsed.raw or {}).get("properties", {}))
+    span_prop = props.get(spans_col)
+    if span_prop is None or not isinstance(df.schema[spans_col].dataType, ArrayType):
+        raise FusedUnsupported("fused plan needs the array column")
+    items = span_prop.get("items")
+    if items is None or isinstance(items, list):
+        raise FusedUnsupported("fused plan needs Single-items semantics")
+
+    comp = ColumnarCompiler(schema_json, uri=uri, registry=registry)
+
+    # doc-level plan = schema minus the items subschema (array-size keywords
+    # stay doc-level), lowered by the general compiler (scalar checks codegen)
+    doc_schema_json = dict(parsed.raw)
+    doc_props = dict(doc_schema_json.get("properties", {}))
+    span_prop_doc = dict(span_prop)
+    span_prop_doc.pop("items", None)
+    doc_props[spans_col] = span_prop_doc
+    doc_schema_json["properties"] = doc_props
+    doc_comp = ColumnarCompiler(doc_schema_json, uri=uri, registry=registry)
+    dtype = StructType([f for f in df.schema.fields])
+    doc_low = doc_comp.lower(dtype)
+
+    items_ast = parse_schema(items)
+    root_base = uri if uri else ""
+    if isinstance(parsed.raw, dict) and isinstance(parsed.raw.get("$id"), str):
+        root_base = resolve_uri(root_base, parsed.raw["$id"])
+    elem_t = df.schema[spans_col].dataType.elementType
+    spans_ok = fused_items_verdict(comp, items_ast, root_base,
+                                   F.col(spans_col), elem_t)
+    # null array = absent key: items checks pass (type-guard semantics)
+    spans_ok = F.when(F.col(spans_col).isNull(), F.lit(True)) \
+                .otherwise(F.coalesce(spans_ok, F.lit(False)))
+
+    instance = F.struct(*[F.col(c) for c in df.columns])
+    doc_valid = F.coalesce(doc_low.valid(instance), F.lit(False))
+    valid = doc_valid & F.coalesce(spans_ok, F.lit(False))
+
+    keep = keep_cols if keep_cols is not None else list(df.columns)
+    cols = {"valid": valid}
+    if with_violations:
+        # full-detail collector from the general plan, evaluated lazily only
+        # when the fused verdict fails
+        full_low = comp.lower(dtype)
+        cols["violations"] = F.when(valid, F.array().cast(VIOLATION_SCHEMA)) \
+            .otherwise(full_low.violations(instance, F.lit("")))
+    return df.select(*keep, *[v.alias(k) for k, v in cols.items()])

@@ -1,0 +1,98 @@
+"""Kill-and-resume: replay only unfinished units; combined output must be
+row-identical to a fresh full run, including span-sequence preservation."""
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_lean_spark.checkpointing import CheckpointedValidation
+from json_schema_lean_spark.operators.validation import validate_documents_exploded
+from json_schema_lean_spark.sources.spansgen import SPAN_SCHEMA, spans_documents
+
+
+@pytest.fixture(scope="module")
+def spans_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ckpt") / "spans")
+    spans_documents(spark, 2000).repartition(8).write.parquet(path)
+    return path
+
+
+def canon(rows):
+    return sorted((r["doc_id"], r["valid"],
+                   tuple(sorted((v["keyword"], v["json_pointer"])
+                                for v in r["violations"])))
+                  for r in rows)
+
+
+def test_kill_and_resume_identical(spark, spans_path, tmp_path):
+    out_dir = str(tmp_path / "out")
+    ck = CheckpointedValidation(spark, spans_path, SPAN_SCHEMA, out_dir,
+                                files_per_unit=2)
+    # simulate a kill after 2 units
+    r1 = ck.run(max_units=2)
+    assert r1.units_processed == 2 and r1.units_skipped == 0
+    # resume: remaining units only
+    r2 = ck.run()
+    assert r2.units_skipped == 2
+    assert r2.units_processed == r1.units_total - 2
+
+    resumed = canon(ck.results().collect())
+    fresh = canon(validate_documents_exploded(
+        spark.read.parquet(spans_path), SPAN_SCHEMA).collect())
+    assert resumed == fresh
+
+    # third run: everything skipped, nothing reprocessed
+    r3 = ck.run()
+    assert r3.units_processed == 0
+    assert r3.units_skipped == r1.units_total
+
+
+def test_manifest_lineage_and_metrics(spark, spans_path, tmp_path):
+    out_dir = str(tmp_path / "out")
+    ck = CheckpointedValidation(spark, spans_path, SPAN_SCHEMA, out_dir,
+                                files_per_unit=4, run_id="run-lineage")
+    ck.run()
+    entries = ck.manifest()
+    assert entries
+    total_rows = sum(e["rows_scanned"] for e in entries)
+    assert total_rows == spark.read.parquet(spans_path).count()
+    for e in entries:
+        assert e["run_id"] == "run-lineage"
+        assert e["validator_version"]
+        assert e["schema_hash"]
+        assert e["input_surrogate"]
+        assert e["stage_sec"] >= 0
+        assert e["rows_scanned"] >= e["valid_rows"]
+
+
+def test_schema_change_invalidates_checkpoint(spark, spans_path, tmp_path):
+    out_dir = str(tmp_path / "out")
+    ck = CheckpointedValidation(spark, spans_path, SPAN_SCHEMA, out_dir,
+                                files_per_unit=4)
+    ck.run()
+    # same out_dir, different schema -> all units must re-run
+    other = dict(SPAN_SCHEMA)
+    other = json.loads(json.dumps(SPAN_SCHEMA))
+    other["properties"]["doc_id"]["pattern"] = "^docx-"
+    ck2 = CheckpointedValidation(spark, spans_path, other, out_dir,
+                                 files_per_unit=4)
+    r = ck2.run()
+    assert r.units_skipped == 0 and r.units_processed == r.units_total
+
+
+def test_span_sequence_preserved_through_resume(spark, spans_path, tmp_path):
+    """Per-row invariant vs the reference: span-sequence equality
+    (kind, text, media_ref, order)."""
+    out_dir = str(tmp_path / "out")
+    ck = CheckpointedValidation(spark, spans_path, SPAN_SCHEMA, out_dir,
+                                files_per_unit=2,
+                                keep_cols=["doc_id", "spans"])
+    ck.run(max_units=1)
+    ck.run()
+    seq = lambda df: sorted(
+        (r["doc_id"],
+         tuple((s["kind"], s["text"], s["media_ref"]) for s in (r["spans"] or [])))
+        for r in df.select("doc_id", "spans").collect())
+    assert seq(ck.results()) == seq(spark.read.parquet(spans_path))

@@ -111,6 +111,51 @@ def test_explode_strategy_matches_forall(spark):
     assert a == b
 
 
+def test_fused_strategy_matches_forall(spark):
+    from json_schema_lean_spark.plans import validate_documents_fused
+
+    docs = spans_documents(spark, 800)
+
+    def canon(rows):
+        return sorted(
+            (r["doc_id"], r["valid"],
+             tuple(sorted((v["keyword"], v["json_pointer"]) for v in r["violations"])))
+            for r in rows)
+
+    a = canon(validate_dataframe(docs, SPAN_SCHEMA)
+              .select("doc_id", "valid", "violations").collect())
+    b = canon(validate_documents_fused(docs, SPAN_SCHEMA,
+                                       keep_cols=["doc_id"]).collect())
+    assert a == b
+
+
+def test_fused_rejects_unsupported_keywords(spark):
+    import json as _json
+    from json_schema_lean_spark.plans import FusedUnsupported, validate_documents_fused
+
+    docs = spans_documents(spark, 10)
+    schema = _json.loads(_json.dumps(SPAN_SCHEMA))
+    schema["definitions"]["span"]["properties"]["offset"]["multipleOf"] = 2
+    with pytest.raises(FusedUnsupported):
+        validate_documents_fused(docs, schema)
+
+
+def test_validate_spans_best_falls_back(spark):
+    import json as _json
+    from json_schema_lean_spark.operators.validation import validate_spans_best
+
+    docs = spans_documents(spark, 300)
+    # fused-eligible schema
+    a = validate_spans_best(docs, SPAN_SCHEMA, keep_cols=["doc_id"])
+    # fused-ineligible (multipleOf) -> explode strategy, same verdicts shape
+    schema = _json.loads(_json.dumps(SPAN_SCHEMA))
+    schema["definitions"]["span"]["properties"]["offset"]["multipleOf"] = 1
+    b = validate_spans_best(docs, schema, keep_cols=["doc_id"])
+    av = {r["doc_id"]: r["valid"] for r in a.collect()}
+    bv = {r["doc_id"]: r["valid"] for r in b.collect()}
+    assert av == bv  # multipleOf 1 is vacuous for integers
+
+
 def test_scalar_keywords_columnar(spark):
     df = spark.createDataFrame(
         [(1, "abc", 4.0), (-2, "x", 3.5), (7, "abcdef", 9.0)],

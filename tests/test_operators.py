@@ -1,0 +1,199 @@
+"""Extension-operator tests: drift, dedup, similarity, text, stats, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_lean_spark.operators import drift as drift_ops
+from json_schema_lean_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_candidate_pairs,
+    ngram_jaccard,
+    simhash_dup_groups,
+)
+from json_schema_lean_spark.operators.multimodal import (
+    audio_features,
+    extract_media_meta,
+    image_features,
+    sample_frames,
+    synth_media_blobs,
+)
+from json_schema_lean_spark.operators.similarity import brute_force_topk, lsh_topk
+from json_schema_lean_spark.operators.stats import (
+    approx_distinct,
+    duplicate_keys,
+    numeric_column_stats,
+    uniqueness_summary,
+)
+from json_schema_lean_spark.operators.text import lang_guess
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+# ---------------- drift ------------------------------------------------------
+
+def test_drift_self_comparison_no_drift(spark, docs):
+    base = drift_ops.baseline_stats(docs, ["n_chars"], run_id="r0")
+    report = drift_ops.drift_report(docs, base)
+    assert len(report) == 1
+    r = report[0]
+    assert r["ks_stat"] == 0.0
+    assert not r["ks_drifted"] and not r["chi2_drifted"]
+
+
+def test_drift_detects_shift(spark, docs):
+    base = drift_ops.baseline_stats(docs, ["n_chars"], run_id="r0")
+    shifted = docs.withColumn("n_chars", F.col("n_chars") * 2 + 300)
+    report = drift_ops.drift_report(shifted, base)
+    r = report[0]
+    assert r["ks_drifted"] and r["chi2_drifted"]
+    assert r["ks_stat"] > 0.3
+
+
+def test_chi_square_pvalue_sane():
+    # chi2 CDF checkpoints (vs published tables)
+    assert abs(drift_ops.chi_square_pvalue(3.841, 1) - 0.05) < 0.002
+    assert abs(drift_ops.chi_square_pvalue(18.307, 10) - 0.05) < 0.002
+    assert drift_ops.chi_square_pvalue(0.0, 5) == pytest.approx(1.0)
+
+
+# ---------------- dedup ------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    rows = []
+    base = ("spark engine validates documents with schemas and emits "
+            "violation rows for every failed keyword in the corpus")
+    for i in range(40):
+        rows.append((i, f"unique document number {i} " + base[: 40 + i]))
+    rows.append((100, base))
+    rows.append((101, base))                          # exact dup of 100
+    rows.append((102, base.replace("corpus", "dataset")))  # near dup
+    rows.append((103, "totally different text about nothing relevant here"))
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_exact_dup_groups(dup_corpus):
+    groups = {r["keep_id"]: r["n_rows"]
+              for r in exact_dup_groups(dup_corpus, "text", "doc_id").collect()}
+    assert groups[100] == 2  # 100 & 101 collapse
+    assert groups[102] == 1
+
+
+def test_minhash_lsh_finds_near_dups(dup_corpus):
+    pairs = minhash_candidate_pairs(dup_corpus, "text", "doc_id",
+                                    k=32, bands=16, ngram=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (100, 101) in got
+    assert (100, 102) in got or (101, 102) in got
+    # verification stage: exact jaccard ranks the exact dup at 1.0
+    j = {(r["id_a"], r["id_b"]): r["jaccard"]
+         for r in ngram_jaccard(pairs, dup_corpus, "text", "doc_id").collect()}
+    assert j[(100, 101)] == 1.0
+
+
+def test_simhash_groups_exact_dups(dup_corpus):
+    groups = {r["keep_id"]: r["n_rows"]
+              for r in simhash_dup_groups(dup_corpus, "text", "doc_id").collect()}
+    assert groups.get(100) == 2
+
+
+# ---------------- similarity -------------------------------------------------
+
+def test_lsh_topk_overlaps_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in lsh_topk(emb, q, dim=64, k=5, n_planes=4).collect()}
+    # 4 planes = 16 buckets over 500 vecs: recall need not be perfect but the
+    # bucketing must produce valid, overlapping results
+    assert approx
+    assert len(approx & brute) >= 1
+    assert all(qid in {0, 1, 2} for qid, _ in approx)
+
+
+# ---------------- text -------------------------------------------------------
+
+def test_lang_guess(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog of the house",),
+         ("el perro de la casa que los gatos",),
+         ("der hund und die katze das ist gut",),
+         ("zzz qqq xxx",)], "text: string")
+    got = [r[0] for r in df.select(lang_guess(F.col("text"))).collect()]
+    assert got == ["en", "es", "de", "und"]
+
+
+# ---------------- stats ------------------------------------------------------
+
+def test_numeric_column_stats_shape(docs):
+    rows = numeric_column_stats(docs, ["doc_id", "n_chars"]).collect()
+    by_col = {r["column"]: r for r in rows}
+    assert by_col["doc_id"]["n"] == 500 and by_col["doc_id"]["n_null"] == 0
+    assert by_col["n_chars"]["min_value"] >= 0
+
+
+def test_uniqueness_and_duplicates(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,)], "k: long")
+    s = uniqueness_summary(df, "k").collect()[0]
+    assert (s["total_rows"], s["distinct_keys"], s["rows_in_dup_keys"]) == (3, 2, 2)
+    d = duplicate_keys(df, "k").collect()
+    assert [(r["k"], r["n"]) for r in d] == [(1, 2)]
+    d_salted = duplicate_keys(df, "k", salt_partitions=4).collect()
+    assert [(r["k"], r["n"]) for r in d_salted] == [(1, 2)]
+
+
+def test_approx_distinct_close(docs):
+    rows = {r["column"]: r["approx_distinct"]
+            for r in approx_distinct(docs, ["doc_id", "lang"]).collect()}
+    assert abs(rows["doc_id"] - 500) <= 25
+    assert rows["lang"] == 5
+
+
+# ---------------- multimodal -------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media(spark):
+    refs = spark.createDataFrame(
+        [(f"asset://blob/{i:06d}", ["image", "audio", "video"][i % 3])
+         for i in range(30)],
+        "media_ref: string, media_kind: string")
+    return synth_media_blobs(refs)
+
+
+def test_media_meta(media):
+    rows = extract_media_meta(media).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["n_bytes"] > 0 and len(r["content_sha256"]) == 64
+
+
+def test_image_features_deterministic(media):
+    a = sorted(map(tuple, image_features(media).collect()))
+    b = sorted(map(tuple, image_features(media).collect()))
+    assert a == b
+    assert all(64 <= r[1] < 1984 for r in a)  # width range
+
+
+def test_audio_and_frames_shapes(media):
+    au = audio_features(media).collect()
+    assert len(au) == 30 and all(r["sample_rate"] == 16000 for r in au)
+    fr = sample_frames(media, max_frames=4).collect()
+    assert len(fr) >= 30
+    per_ref = {}
+    for r in fr:
+        per_ref.setdefault(r["media_ref"], []).append(r["frame_idx"])
+    assert all(len(v) <= 4 for v in per_ref.values())
+
+
+def test_real_decoder_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        audio_features(media, decoder="real").collect()
+    with pytest.raises(NotImplementedError):
+        sample_frames(media, decoder="real").collect()
