@@ -174,6 +174,80 @@ def _q_embedding_uniqueitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "valid")
 
 
+def _q_asof_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_lean_spark.operators.temporal import asof_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    out = asof_join(clicks, purchases, on="user_id", ts="ts", value_cols=["value"])
+    return out.select("event_id", F.round(F.col("asof_value"), 6).alias("asof_value"))
+
+
+def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_lean_spark.operators.temporal import session_stats
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, "user_id", "ts", gap_minutes=30,
+                         order_tiebreak="event_id")
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_lean_spark.operators.temporal import tumbling_window_agg
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return tumbling_window_agg(ev, "ts", "value", "1 hour")
+
+
+def _q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (o.groupBy(F.year("o_orderdate").alias("yr"),
+                      F.month("o_orderdate").alias("mo"))
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.round(F.sum("o_totalprice"), 4).alias("revenue")))
+
+
+def _q_q3_building_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .where(F.col("c_mktsegment") == "BUILDING")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .groupBy("l_orderkey")
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 4).alias("revenue")))
+    return (rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+               .limit(10))
+
+
+def _q_lang_guess_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_lean_spark.operators.text import lang_guess
+    d = _docs(spark, sf_dir)
+    return (d.select(lang_guess(F.col("text")).alias("guessed"))
+             .groupBy("guessed").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _q_nchars_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    width = 25.0
+    bucket = F.least(F.greatest(F.floor(F.col("n_chars") / width), F.lit(0)),
+                     F.lit(23)).cast("int")
+    return (d.where(F.col("n_chars").isNotNull())
+             .groupBy(bucket.alias("bucket"))
+             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_lean_spark.operators.dedup import (
+        minhash_candidate_pairs, ngram_jaccard)
+    d = _docs(spark, sf_dir)
+    pairs = minhash_candidate_pairs(d, "text", "doc_id", k=32, bands=16, ngram=3)
+    return ngram_jaccard(pairs, d, "text", "doc_id", ngram=3)
+
+
+def _q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_lean_spark.operators.dedup import simhash_dup_groups
+    return simhash_dup_groups(_docs(spark, sf_dir), "text", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -190,6 +264,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": _q_top_orders_per_customer,
         "ann_topk": _q_ann_topk,
         "embedding_uniqueitems": _q_embedding_uniqueitems,
+        "asof_purchase_before_click": _q_asof_purchase_before_click,
+        "session_stats": _q_session_stats,
+        "events_hourly": _q_events_hourly,
+        "orders_by_month": _q_orders_by_month,
+        "q3_building_revenue": _q_q3_building_revenue,
+        "lang_guess_counts": _q_lang_guess_counts,
+        "nchars_histogram": _q_nchars_histogram,
+        "minhash_pairs": _q_minhash_pairs,      # rows-only (xxhash64 engine-specific)
+        "simhash_groups": _q_simhash_groups,    # rows-only (xxhash64 engine-specific)
     }
 
 
@@ -344,5 +427,80 @@ def oracle_sql() -> dict[str, str]:
                     (len(list_distinct(embedding)) = len(embedding)
                      AND len(embedding) >= 1)) AS valid
             FROM embeddings
+        """,
+        "asof_purchase_before_click": """
+            SELECT c.event_id, round(p.value, 6) AS asof_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "session_stats": """
+            WITH ordered AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev_ts
+              FROM events),
+            flagged AS (
+              SELECT user_id,
+                     CASE WHEN prev_ts IS NULL
+                            OR epoch(ts) - epoch(prev_ts) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM ordered)
+            SELECT user_id,
+                   sum(new_session)::BIGINT AS n_sessions,
+                   count(*) AS n_events
+            FROM flagged GROUP BY user_id
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   count(*) AS n,
+                   round(sum(value), 6) AS sum_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1
+        """,
+        "orders_by_month": """
+            SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
+                   count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+            FROM orders GROUP BY 1, 2
+        """,
+        "q3_building_revenue": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "lang_guess_counts": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents),
+            scored AS (
+              SELECT doc_id,
+                     len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS s_en,
+                     len(list_filter(t, x -> x IN ('el','la','de','que','los'))) AS s_es,
+                     len(list_filter(t, x -> x IN ('le','la','les','des','est'))) AS s_fr,
+                     len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS s_de
+              FROM toks),
+            guessed AS (
+              SELECT CASE
+                       WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                       WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                       WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                       ELSE 'de' END AS guessed
+              FROM scored)
+            SELECT guessed, count(*) AS n FROM guessed GROUP BY guessed
+        """,
+        "nchars_histogram": """
+            SELECT least(greatest(floor(n_chars / 25.0), 0), 23)::INT AS bucket,
+                   count(*) AS n
+            FROM documents
+            WHERE n_chars IS NOT NULL
+            GROUP BY 1
         """,
     }
