@@ -332,13 +332,14 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
                    round(min(doc_id)::DOUBLE, 6) AS min_value,
                    round(max(doc_id)::DOUBLE, 6) AS max_value,
-                   round(avg(doc_id), 6) AS mean_value
+                   round(avg(doc_id), 6) AS mean_value,
+                   round(var_pop(doc_id), 6) AS var_value
             FROM documents
             UNION ALL
             SELECT 'n_chars', count(n_chars),
                    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
                    round(min(n_chars)::DOUBLE, 6), round(max(n_chars)::DOUBLE, 6),
-                   round(avg(n_chars), 6)
+                   round(avg(n_chars), 6), round(var_pop(n_chars), 6)
             FROM documents
         """,
         "uniqueness_doc_id": """

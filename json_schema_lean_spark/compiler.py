@@ -320,7 +320,8 @@ class ColumnarCompiler:
         if not has_obj_kw:
             return
         if isinstance(dtype, MapType):
-            raise CompileFallback("MapType objects not yet lowered")
+            self._lower_map_object(s, dtype, base_uri, depth, add, add_simple)
+            return
         if not isinstance(dtype, StructType):
             return  # object keywords pass on non-objects
 
@@ -456,6 +457,125 @@ class ColumnarCompiler:
 
                     def viol_fn(c: Column, p: Column, lo=low, k=key) -> Column:
                         return F.when(c.isNull() | ~present(c, k),
+                                      F.array().cast(VIOLATION_SCHEMA)) \
+                                .otherwise(lo.violations(c, p))
+                    add(v_fn, viol_fn)
+
+    def _lower_map_object(self, s: SchemaObject, dtype: MapType, base_uri: str,
+                          depth: int, add, add_simple) -> None:
+        """Object keywords over MapType columns (dynamic keys, uniform value
+        type). Uses map_* collection functions + HOFs over map_keys/entries;
+        key presence is map_contains_key (a null VALUE still counts as a
+        present key, unlike struct shredding)."""
+        if not isinstance(dtype.keyType, StringType):
+            raise CompileFallback("map object keys must be strings")
+        val_t = dtype.valueType
+
+        if s.required:
+            req = list(s.required)
+            add_simple(lambda c, r=req: reduce(
+                lambda a, b: a & b, (F.map_contains_key(c, k) for k in r)),
+                "required", f"missing one of {req}")
+
+        if s.max_properties is not None:
+            m = s.max_properties
+            add_simple(lambda c, m=m: F.size(c) <= m, "maxProperties", f"> {m}")
+        if s.min_properties is not None:
+            m = s.min_properties
+            add_simple(lambda c, m=m: F.size(c) >= m, "minProperties", f"< {m}")
+
+        if s.properties:
+            for name, sub in s.properties:
+                low = self._lower(sub, val_t, base_uri, depth + 1)
+                tok = name.replace("~", "~0").replace("/", "~1")
+
+                def v_fn(c: Column, lo=low, k=name) -> Column:
+                    return F.when(c.isNull() | ~F.map_contains_key(c, k),
+                                  F.lit(True)) \
+                            .otherwise(F.coalesce(lo.valid(F.element_at(c, k)),
+                                                  F.lit(False)))
+
+                def viol_fn(c: Column, p: Column, lo=low, k=name, t=tok) -> Column:
+                    return F.when(c.isNull() | ~F.map_contains_key(c, k),
+                                  F.array().cast(VIOLATION_SCHEMA)) \
+                            .otherwise(lo.violations(F.element_at(c, k),
+                                                     F.concat(p, F.lit("/" + t))))
+                add(v_fn, viol_fn)
+
+        if s.property_names is not None:
+            pn = s.property_names
+            low = self._lower(pn, StringType(), base_uri, depth + 1)
+            add_simple(
+                lambda c, lo=low: F.forall(
+                    F.map_keys(c), lambda k: F.coalesce(lo.valid(k), F.lit(False))),
+                "propertyNames", "invalid property name")
+
+        pattern_res = [p for p, _ in (s.pattern_properties or [])]
+        for pat in pattern_res:
+            if not java_regex_safe(pat):
+                raise CompileFallback(f"patternProperties regex {pat!r}")
+        if s.pattern_properties:
+            for pat, sub in s.pattern_properties:
+                low = self._lower(sub, val_t, base_uri, depth + 1)
+
+                def v_fn(c: Column, lo=low, p=pat) -> Column:
+                    matched = F.filter(
+                        F.map_entries(c),
+                        lambda kv: F.regexp_like(kv.getField("key"), F.lit(p)))
+                    return _guard(c, F.forall(
+                        matched,
+                        lambda kv: F.coalesce(lo.valid(kv.getField("value")),
+                                              F.lit(False))))
+
+                add(v_fn, lambda c, ptr, v=v_fn, p=pat: F.when(
+                    v(c), F.array().cast(VIOLATION_SCHEMA))
+                    .otherwise(F.array(_viol("patternProperties", ptr,
+                                             f"value under pattern {p!r} invalid"))))
+
+        if s.additional_properties is not None:
+            declared = [n for n, _ in (s.properties or [])]
+
+            def extra_entries(c: Column) -> Column:
+                def is_extra(kv: Column) -> Column:
+                    cond = ~kv.getField("key").isin(*declared) if declared else F.lit(True)
+                    for p in pattern_res:
+                        cond = cond & ~F.regexp_like(kv.getField("key"), F.lit(p))
+                    return cond
+                return F.filter(F.map_entries(c), is_extra)
+
+            if isinstance(s.additional_properties, bool):
+                if not s.additional_properties:
+                    add_simple(lambda c: F.size(extra_entries(c)) == 0,
+                               "additionalProperties", "unexpected keys")
+            else:
+                low = self._lower(s.additional_properties, val_t, base_uri, depth + 1)
+                add_simple(
+                    lambda c, lo=low: F.forall(
+                        extra_entries(c),
+                        lambda kv: F.coalesce(lo.valid(kv.getField("value")),
+                                              F.lit(False))),
+                    "additionalProperties", "additional property value invalid")
+
+        if s.dependencies:
+            for key, dep in s.dependencies:
+                if dep.required_props is not None:
+                    reqs = dep.required_props
+                    add_simple(
+                        lambda c, k=key, r=reqs: F.when(
+                            F.map_contains_key(c, k),
+                            reduce(lambda a, b: a & b,
+                                   (F.map_contains_key(c, x) for x in r))
+                            if r else F.lit(True)).otherwise(F.lit(True)),
+                        "dependencies", f"{key!r} requires {dep.required_props}")
+                if dep.schema is not None:
+                    low = self._lower(dep.schema, dtype, base_uri, depth + 1)
+
+                    def v_fn(c: Column, lo=low, k=key) -> Column:
+                        return F.when(c.isNull() | ~F.map_contains_key(c, k),
+                                      F.lit(True)).otherwise(lo.valid(c))
+
+                    def viol_fn(c: Column, p: Column, lo=low, k=key) -> Column:
+                        return F.when(c.isNull() | ~F.map_contains_key(c, k),
                                       F.array().cast(VIOLATION_SCHEMA)) \
                                 .otherwise(lo.violations(c, p))
                     add(v_fn, viol_fn)

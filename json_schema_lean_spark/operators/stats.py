@@ -27,6 +27,8 @@ def numeric_column_stats(df: DataFrame, cols: list[str], round_to: int = 6) -> D
             F.round(F.min(F.col(c)).cast("double"), round_to).alias(f"{c}__min"),
             F.round(F.max(F.col(c)).cast("double"), round_to).alias(f"{c}__max"),
             F.round(F.avg(F.col(c)), round_to).alias(f"{c}__mean"),
+            # var_pop is Spark's exact single-pass (Welford-merge) variance
+            F.round(F.var_pop(F.col(c)), round_to).alias(f"{c}__var"),
         ]
     wide = df.agg(*aggs)
     per_col = F.array(*[
@@ -37,11 +39,13 @@ def numeric_column_stats(df: DataFrame, cols: list[str], round_to: int = 6) -> D
             F.col(f"{c}__min").alias("min_value"),
             F.col(f"{c}__max").alias("max_value"),
             F.col(f"{c}__mean").alias("mean_value"),
+            F.col(f"{c}__var").alias("var_value"),
         ) for c in cols
     ])
     return (wide.select(F.explode(per_col).alias("s"))
                 .select("s.column", "s.n", "s.n_null",
-                        "s.min_value", "s.max_value", "s.mean_value"))
+                        "s.min_value", "s.max_value", "s.mean_value",
+                        "s.var_value"))
 
 
 def uniqueness_summary(df: DataFrame, key: str) -> DataFrame:
