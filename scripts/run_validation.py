@@ -1,0 +1,79 @@
+"""spark-submit entry point: checkpointed, resumable validation run.
+
+    spark-submit --py-files engine.zip scripts/run_validation.py \
+        --input /data/documents --schema schema.json --out /runs/r42 \
+        [--spans-col spans] [--files-per-unit 32] [--run-id r42] \
+        [--max-units N]   (simulate a kill / bound a run)
+
+Local sandbox equivalent:
+
+    python scripts/run_validation.py --input /tmp/spark_graft_spans_600000 \
+        --schema - --out /tmp/run1          (- = built-in flagship schema)
+
+Prints a one-line JSON report; exit 0 when every unit is committed.
+Re-running with the same --out resumes: completed units (matching input
+surrogate + schema hash + validator version) are skipped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+from json_schema_lean_spark.checkpointing import CheckpointedValidation
+from json_schema_lean_spark.sources.spansgen import SPAN_SCHEMA
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--schema", required=True,
+                    help="path to schema JSON, or '-' for the flagship span schema")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--spans-col", default="spans")
+    ap.add_argument("--files-per-unit", type=int, default=32)
+    ap.add_argument("--run-id", default="run-0")
+    ap.add_argument("--max-units", type=int, default=None)
+    ap.add_argument("--master", default=None,
+                    help="override master (default: whatever spark-submit set)")
+    args = ap.parse_args()
+
+    schema = SPAN_SCHEMA if args.schema == "-" else json.loads(
+        open(args.schema).read())
+
+    builder = SparkSession.builder.appName("json-schema-lean-spark-validate")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = (builder
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.skewJoin.enabled", "true")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+
+    ck = CheckpointedValidation(
+        spark, args.input, schema, args.out, spans_col=args.spans_col,
+        files_per_unit=args.files_per_unit, run_id=args.run_id)
+    report = ck.run(max_units=args.max_units)
+    done = report.units_skipped + report.units_processed == report.units_total
+    print(json.dumps({
+        "run_id": report.run_id,
+        "units_total": report.units_total,
+        "units_skipped": report.units_skipped,
+        "units_processed": report.units_processed,
+        "rows_scanned": report.rows,
+        "valid_rows": report.valid,
+        "violations": report.violations,
+        "complete": done,
+        "out": args.out,
+    }))
+    sys.exit(0 if done else 3)
+
+
+if __name__ == "__main__":
+    main()
