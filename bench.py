@@ -100,7 +100,7 @@ def main() -> None:
     bench("events_props", lambda: force(
         validate_json_column(
             spark.read.parquet(f"{sf_dir}/events.parquet"), "props",
-            EVENT_PROPS_SCHEMA).where(F.col("valid"))))
+            EVENT_PROPS_SCHEMA, verdict_only=True).where(F.col("valid"))))
 
     bench("q1_pricing", lambda: force(
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")

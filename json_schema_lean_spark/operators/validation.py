@@ -245,10 +245,46 @@ def json_validator_udf(schema_json: Any, registry: Optional[dict[str, Any]] = No
     return _validate
 
 
+def json_verdict_udf(schema_json: Any, registry: Optional[dict[str, Any]] = None,
+                     uri: str = "", fuel: int = DEFAULT_FUEL):
+    """Verdict-only pandas UDF: json string -> boolean. Short-circuits on the
+    first failing keyword (reference Except-monad behavior) and skips
+    violation-struct construction — ~2x the throughput of the full UDF."""
+    state: dict[str, CompiledValidator] = {}
+
+    def _get() -> CompiledValidator:
+        if "v" not in state:
+            state["v"] = CompiledValidator(schema_json, uri=uri,
+                                           registry=registry, fuel=fuel)
+        return state["v"]
+
+    @pandas_udf("boolean")
+    def _verdict(batch: pd.Series) -> pd.Series:
+        v = _get()
+        loads = json.loads
+        out: list[Optional[bool]] = []
+        for raw in batch:
+            if raw is None:
+                out.append(None)
+                continue
+            try:
+                out.append(v.is_valid(loads(raw)))
+            except (ValueError, TypeError):
+                out.append(False)
+        return pd.Series(out, dtype="boolean")
+
+    return _verdict
+
+
 def validate_json_column(df: DataFrame, json_col: str, schema_json: Any,
                          registry: Optional[dict[str, Any]] = None,
-                         uri: str = "", fuel: int = DEFAULT_FUEL) -> DataFrame:
-    """Arrow-batch validation of a JSON string column. Adds valid/violations."""
+                         uri: str = "", fuel: int = DEFAULT_FUEL,
+                         verdict_only: bool = False) -> DataFrame:
+    """Arrow-batch validation of a JSON string column. Adds valid (+
+    violations unless verdict_only)."""
+    if verdict_only:
+        udf = json_verdict_udf(schema_json, registry=registry, uri=uri, fuel=fuel)
+        return df.withColumn("valid", udf(F.col(json_col)))
     udf = json_validator_udf(schema_json, registry=registry, uri=uri, fuel=fuel)
     res = udf(F.col(json_col))
     return df.withColumns({
