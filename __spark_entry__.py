@@ -248,6 +248,36 @@ def _q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dup_groups(_docs(spark, sf_dir), "text", "doc_id")
 
 
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force at oracle scale; the
+    LSH-bucketed variant in operators/similarity.py is the 100 TB path)."""
+    from json_schema_lean_spark.operators.similarity import cosine
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").cast("array<double>").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").cast("array<double>").alias("vb"))
+    pairs = (a.join(b, F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b",
+                      F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos")))
+    return pairs.where(F.col("cos") > 0.45).select("id_a", "id_b", "cos")
+
+
+def _q_users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+def _q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -273,6 +303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nchars_histogram": _q_nchars_histogram,
         "minhash_pairs": _q_minhash_pairs,      # rows-only (xxhash64 engine-specific)
         "simhash_groups": _q_simhash_groups,    # rows-only (xxhash64 engine-specific)
+        "embedding_near_dups": _q_embedding_near_dups,
+        "users_click_and_purchase": _q_users_click_and_purchase,
+        "event_value_percentiles": _q_event_value_percentiles,
     }
 
 
@@ -503,5 +536,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE n_chars IS NOT NULL
             GROUP BY 1
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS cos
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 4) > 0.45
+        """,
+        "users_click_and_purchase": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "event_value_percentiles": """
+            SELECT round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events
         """,
     }

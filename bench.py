@@ -97,6 +97,10 @@ def main() -> None:
     extras["spans_valid"] = n_valid["ok"]
     extras["docs_per_sec"] = round(n_valid["n"] / spans_sec, 1)
 
+    from json_schema_lean_spark.operators.validation import violation_rows_fast
+    bench("violation_rows", lambda: force(
+        violation_rows_fast(spans, SPAN_SCHEMA, id_cols=["doc_id"])))
+
     bench("events_props", lambda: force(
         validate_json_column(
             spark.read.parquet(f"{sf_dir}/events.parquet"), "props",

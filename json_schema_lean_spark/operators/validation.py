@@ -182,6 +182,90 @@ def validate_documents_exploded(
                            .alias("violations"))
 
 
+def violation_rows_fast(
+    df: DataFrame,
+    schema_json: Any,
+    spans_col: str = "spans",
+    id_cols: Optional[list[str]] = None,
+    registry: Optional[dict[str, Any]] = None,
+    uri: str = "",
+) -> DataFrame:
+    """Violation ROWS (id..., span_idx, keyword, json_pointer, message) with
+    ZERO shuffle and one scan — the 100 TB production shape for the
+    BASELINE.json violation-row output.
+
+    The explode strategy's groupBy exists only to reassemble per-doc
+    violation ARRAYS; when the deliverable is rows, we can skip it: posexplode
+    spans, evaluate the span plan flat (codegen), emit span violations where
+    they occur, and attach the doc-level violations once per doc on the first
+    generator row (_pos 0 or null-spans row). Plan = Scan -> Generate ->
+    Project -> Filter -> Generate; every stage is pipelined, nothing moves.
+    """
+    parsed = parse_schema(schema_json)
+    if not isinstance(parsed, SchemaObject) or parsed.properties is None:
+        raise CompileFallback("violation_rows_fast needs an object schema")
+    span_prop = dict((parsed.raw or {}).get("properties", {})).get(spans_col)
+    if span_prop is None or not isinstance(df.schema[spans_col].dataType, ArrayType):
+        raise CompileFallback("violation_rows_fast needs the array column")
+    items = span_prop.get("items")
+    if items is None or isinstance(items, list):
+        raise CompileFallback("violation_rows_fast needs Single-items semantics")
+
+    # doc-level plan (schema minus items) + span-level plan, as in the
+    # explode strategy
+    doc_schema_json = dict(parsed.raw)
+    doc_props = dict(doc_schema_json.get("properties", {}))
+    span_prop_doc = dict(span_prop)
+    span_prop_doc.pop("items", None)
+    doc_props[spans_col] = span_prop_doc
+    doc_schema_json["properties"] = doc_props
+    doc_comp = ColumnarCompiler(doc_schema_json, uri=uri, registry=registry)
+    doc_dtype = StructType([f for f in df.schema.fields])
+    doc_low = doc_comp.lower(doc_dtype)
+
+    elem_comp = ColumnarCompiler(
+        {**{k: v for k, v in (parsed.raw or {}).items()
+            if k in ("$id", "definitions", "$defs")}, **({"allOf": [items]})},
+        uri=uri, registry=registry)
+    elem_t = df.schema[spans_col].dataType.elementType
+    elem_low = elem_comp.lower(elem_t)
+
+    ids = id_cols if id_cols is not None else [df.columns[0]]
+    instance = F.struct(*[F.col(c) for c in df.columns])
+    doc_valid = F.coalesce(doc_low.valid(instance), F.lit(False))
+    doc_viols = F.when(doc_valid, F.array().cast(VIOLATION_SCHEMA)) \
+                 .otherwise(doc_low.violations(instance, F.lit("")))
+
+    base = df.select(*ids, doc_viols.alias("_dviols"),
+                     F.posexplode_outer(F.col(spans_col)).alias("_pos", "_span"))
+
+    span_valid = F.when(F.col("_pos").isNull(), F.lit(True)) \
+                  .otherwise(F.coalesce(elem_low.valid(F.col("_span")), F.lit(False)))
+    span_viols = F.when(span_valid, F.array().cast(VIOLATION_SCHEMA)) \
+                  .otherwise(elem_low.violations(
+                      F.col("_span"),
+                      F.concat(F.lit(f"/{spans_col}/"), F.col("_pos").cast("string"))))
+    # doc-level violations attach exactly once per doc: on the first
+    # generator row (pos 0, or the null row for empty/null spans)
+    first_row = F.col("_pos").isNull() | (F.col("_pos") == 0)
+    all_viols = F.concat(
+        F.when(first_row, F.col("_dviols")).otherwise(F.array().cast(VIOLATION_SCHEMA)),
+        span_viols)
+
+    flat = (base.select(*ids, F.col("_pos"), all_viols.alias("_v"))
+                .where(F.size("_v") > 0)
+                .select(*ids, F.explode("_v").alias("v")))
+    return flat.select(
+        *ids,
+        F.nullif(F.regexp_extract(F.col("v.json_pointer"),
+                                  f"^/{spans_col}/(\\d+)", 1), F.lit(""))
+         .cast("int").alias("span_idx"),
+        F.col("v.keyword").alias("keyword"),
+        F.col("v.json_pointer").alias("json_pointer"),
+        F.col("v.message").alias("message"),
+    )
+
+
 def violation_rows(validated: DataFrame, id_cols: list[str],
                    span_field: str = "spans") -> DataFrame:
     """Explode violations to one row each:

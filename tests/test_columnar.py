@@ -156,6 +156,30 @@ def test_validate_spans_best_falls_back(spark):
     assert av == bv  # multipleOf 1 is vacuous for integers
 
 
+def test_violation_rows_fast_matches_general_path(spark):
+    from json_schema_lean_spark.operators.validation import violation_rows_fast
+
+    docs = spans_documents(spark, 800)
+    a = sorted(tuple(r) for r in violation_rows(
+        validate_dataframe(docs, SPAN_SCHEMA), ["doc_id"]).collect())
+    b = sorted(tuple(r) for r in violation_rows_fast(
+        docs, SPAN_SCHEMA, id_cols=["doc_id"]).collect())
+    assert a == b and len(a) > 0
+
+
+def test_violation_rows_fast_no_shuffle(spark):
+    import contextlib
+    import io
+
+    from json_schema_lean_spark.operators.validation import violation_rows_fast
+
+    docs = spans_documents(spark, 100)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        violation_rows_fast(docs, SPAN_SCHEMA, id_cols=["doc_id"]).explain("simple")
+    assert "Exchange" not in buf.getvalue()
+
+
 def test_scalar_keywords_columnar(spark):
     df = spark.createDataFrame(
         [(1, "abc", 4.0), (-2, "x", 3.5), (7, "abcdef", 9.0)],
