@@ -157,12 +157,17 @@ class ColumnarCompiler:
         if cycle is not None:
             raise SchemaCycleError(cycle)
 
-    def lower(self, dtype: DataType) -> Lowered:
-        return self._lower(self.schema, dtype, self.root_uri, 0)
+    def lower(self, dtype: DataType, null_means: str = "absent") -> Lowered:
+        """null_means governs what a NULL value at THIS position denotes:
+        'absent' (a missing object key — every keyword passes; the struct-
+        shredding mapping) or 'null' (a JSON null — array elements, where
+        type/const/enum must see an actual null value)."""
+        return self._lower(self.schema, dtype, self.root_uri, 0, null_means)
 
     # ------------------------------------------------------------------
 
-    def _lower(self, schema: Schema, dtype: DataType, base_uri: str, depth: int) -> Lowered:
+    def _lower(self, schema: Schema, dtype: DataType, base_uri: str, depth: int,
+               null_means: str = "absent") -> Lowered:
         if depth > MAX_INLINE_DEPTH:
             raise CompileFallback("inline depth exceeded")
         if isinstance(schema, bool):
@@ -189,7 +194,7 @@ class ColumnarCompiler:
                         _viol("$ref", p, f"Could not find {target!r}")),
                 )
             sub, new_uri = got
-            return self._lower(sub, dtype, new_uri, depth + 1)
+            return self._lower(sub, dtype, new_uri, depth + 1, null_means)
 
         if s.id is not None:
             base_uri = resolve_uri(base_uri, s.id)
@@ -206,13 +211,13 @@ class ColumnarCompiler:
             add(lambda c, ok=ok_fn: _guard(c, ok(c)),
                 lambda c, p, ok=ok_fn, kw=keyword, m=msg: _cond_viol(c, ok(c), kw, p, m))
 
-        self._lower_type(s, dtype, add_simple)
-        self._lower_const_enum(s, dtype, add_simple)
+        self._lower_type(s, dtype, add, add_simple, null_means)
+        self._lower_const_enum(s, dtype, add, add_simple, null_means)
         self._lower_string(s, dtype, add_simple)
         self._lower_numeric(s, dtype, add_simple)
         self._lower_object(s, dtype, base_uri, depth, add, add_simple)
         self._lower_array(s, dtype, base_uri, depth, add, add_simple)
-        self._lower_combinators(s, dtype, base_uri, depth, add)
+        self._lower_combinators(s, dtype, base_uri, depth, add, null_means)
 
         if not valid_parts:
             return _LOWERED_TRUE
@@ -227,38 +232,82 @@ class ColumnarCompiler:
 
     # ---- type -----------------------------------------------------------
 
-    def _lower_type(self, s: SchemaObject, dtype: DataType, add_simple) -> None:
+    def _lower_type(self, s: SchemaObject, dtype: DataType, add,
+                    add_simple, null_means: str = "absent") -> None:
         if "any" in s.types:
             return
+        json_null = null_means == "null"
+        null_ok = "null" in s.types
         static_names = _static_type_names(dtype)
+        msg = f"expected one of {s.types}"
+
+        def add_typed(nonnull_ok, msg=msg):
+            """Combine the non-null predicate with the position's null rule."""
+            if json_null:
+                # a NULL here is JSON null: passes iff "null" is in types
+                add(lambda c, ok=nonnull_ok: F.when(
+                        c.isNull(), F.lit(null_ok))
+                    .otherwise(F.coalesce(ok(c), F.lit(False))),
+                    lambda c, p, ok=nonnull_ok: F.when(
+                        F.when(c.isNull(), F.lit(null_ok))
+                        .otherwise(F.coalesce(ok(c), F.lit(False))),
+                        F.array().cast(VIOLATION_SCHEMA))
+                    .otherwise(F.array(_viol("type", p, msg))))
+            else:
+                add_simple(nonnull_ok, "type", msg)
+
         if any(t in static_names for t in s.types):
-            return  # statically satisfied
+            if json_null and not null_ok:
+                # statically satisfied for non-null values, but a JSON null
+                # at this position must still fail
+                add_typed(lambda c: F.lit(True))
+            return
         if "integer" in s.types and isinstance(dtype, _FRACTIONAL):
             # integer refinement: zero fraction (1.0 IS an integer)
-            add_simple(lambda c: c.cast("double") == F.floor(c.cast("double")),
-                       "type", "expected integer")
+            add_typed(lambda c: c.cast("double") == F.floor(c.cast("double")),
+                      "expected integer")
             return
-        if "number" in s.types and isinstance(dtype, BooleanType):
-            pass  # bool is NOT a number
-        add_simple(lambda c: F.lit(False), "type", f"expected one of {s.types}")
+        add_typed(lambda c: F.lit(False))
 
     # ---- const / enum -----------------------------------------------------
 
-    def _lower_const_enum(self, s: SchemaObject, dtype: DataType, add_simple) -> None:
-        if s.const is not ABSENT:
-            lit = _literal_for(s.const, dtype)
-            if lit is None:
-                add_simple(lambda c: F.lit(False), "const", f"expected {_cjson(s.const)}")
+    def _lower_const_enum(self, s: SchemaObject, dtype: DataType, add,
+                          add_simple, null_means: str = "absent") -> None:
+        json_null = null_means == "null"
+
+        def add_eq(nonnull_ok, null_matches: bool, keyword: str, msg: str):
+            if json_null:
+                add(lambda c, ok=nonnull_ok, nm=null_matches: F.when(
+                        c.isNull(), F.lit(nm))
+                    .otherwise(F.coalesce(ok(c), F.lit(False))),
+                    lambda c, p, ok=nonnull_ok, nm=null_matches, kw=keyword, m=msg:
+                    F.when(F.when(c.isNull(), F.lit(nm))
+                           .otherwise(F.coalesce(ok(c), F.lit(False))),
+                           F.array().cast(VIOLATION_SCHEMA))
+                    .otherwise(F.array(_viol(kw, p, m))))
             else:
-                add_simple(lambda c, l=lit: c == l, "const", f"expected {_cjson(s.const)}")
+                add_simple(nonnull_ok, keyword, msg)
+
+        if s.const is not ABSENT:
+            msg = f"expected {_cjson(s.const)}"
+            if s.const is None:
+                add_eq(lambda c: F.lit(False), True, "const", msg)
+            else:
+                lit = _literal_for(s.const, dtype)
+                if lit is None:
+                    add_eq(lambda c: F.lit(False), False, "const", msg)
+                else:
+                    add_eq(lambda c, l=lit: c == l, False, "const", msg)
         if s.enum is not None:
-            lits = [_literal_for(v, dtype) for v in s.enum]
+            null_in_enum = any(v is None for v in s.enum)
+            lits = [_literal_for(v, dtype) for v in s.enum if v is not None]
             lits = [l for l in lits if l is not None]
             if not lits:
-                add_simple(lambda c: F.lit(False), "enum", "not in enum")
+                add_eq(lambda c: F.lit(False), null_in_enum, "enum", "not in enum")
             else:
-                add_simple(lambda c, ls=lits: reduce(lambda a, b: a | b, ((c == l) for l in ls)),
-                           "enum", "not in enum")
+                add_eq(lambda c, ls=lits: reduce(lambda a, b: a | b,
+                                                 ((c == l) for l in ls)),
+                       null_in_enum, "enum", "not in enum")
 
     # ---- strings -----------------------------------------------------------
 
@@ -604,7 +653,7 @@ class ColumnarCompiler:
                        "uniqueItems", "duplicate elements")
 
         if s.items is not None and not s.items.is_tuple:
-            low = self._lower(s.items.single, elem_t, base_uri, depth + 1)
+            low = self._lower(s.items.single, elem_t, base_uri, depth + 1, "null")
             add(
                 lambda c, lo=low: _guard(
                     c, F.forall(c, lambda e: F.coalesce(lo.valid(e), F.lit(False)))),
@@ -615,7 +664,7 @@ class ColumnarCompiler:
             )
         elif s.items is not None and s.items.is_tuple:
             for i, sub in enumerate(s.items.tuple_items):
-                low = self._lower(sub, elem_t, base_uri, depth + 1)
+                low = self._lower(sub, elem_t, base_uri, depth + 1, "null")
 
                 def v_fn(c: Column, lo=low, i=i) -> Column:
                     e = F.get(c, i)
@@ -631,7 +680,7 @@ class ColumnarCompiler:
 
             if s.additional_items is not None:
                 k = len(s.items.tuple_items)
-                low = self._lower(s.additional_items, elem_t, base_uri, depth + 1)
+                low = self._lower(s.additional_items, elem_t, base_uri, depth + 1, "null")
                 add(
                     lambda c, lo=low, k=k: _guard(
                         c, F.forall(F.slice(c, k + 1, F.greatest(F.size(c) - k, F.lit(0))),
@@ -645,7 +694,7 @@ class ColumnarCompiler:
                 )
 
         if s.contains is not None:
-            low = self._lower(s.contains, elem_t, base_uri, depth + 1)
+            low = self._lower(s.contains, elem_t, base_uri, depth + 1, "null")
             add_simple(
                 lambda c, lo=low: (F.size(c) > 0)
                 & F.exists(c, lambda e: F.coalesce(lo.valid(e), F.lit(False))),
@@ -654,20 +703,20 @@ class ColumnarCompiler:
     # ---- combinators ----------------------------------------------------------
 
     def _lower_combinators(self, s: SchemaObject, dtype: DataType, base_uri: str,
-                           depth: int, add) -> None:
+                           depth: int, add, null_means: str = "absent") -> None:
         if s.all_of is not None:
             for sub in s.all_of:
-                low = self._lower(sub, dtype, base_uri, depth + 1)
+                low = self._lower(sub, dtype, base_uri, depth + 1, null_means)
                 add(low.valid, low.violations)
         if s.any_of is not None:
-            lows = [self._lower(sub, dtype, base_uri, depth + 1) for sub in s.any_of]
+            lows = [self._lower(sub, dtype, base_uri, depth + 1, null_means) for sub in s.any_of]
             def v_fn(c: Column, ls=lows) -> Column:
                 return reduce(lambda a, b: a | b,
                               (F.coalesce(lo.valid(c), F.lit(False)) for lo in ls))
             add(v_fn, lambda c, p, v=v_fn: F.when(v(c), F.array().cast(VIOLATION_SCHEMA))
                 .otherwise(F.array(_viol("anyOf", p, "no branch matched"))))
         if s.one_of is not None:
-            lows = [self._lower(sub, dtype, base_uri, depth + 1) for sub in s.one_of]
+            lows = [self._lower(sub, dtype, base_uri, depth + 1, null_means) for sub in s.one_of]
             def v1_fn(c: Column, ls=lows) -> Column:
                 return reduce(lambda a, b: a + b,
                               (F.coalesce(lo.valid(c), F.lit(False)).cast("int")
@@ -675,16 +724,16 @@ class ColumnarCompiler:
             add(v1_fn, lambda c, p, v=v1_fn: F.when(v(c), F.array().cast(VIOLATION_SCHEMA))
                 .otherwise(F.array(_viol("oneOf", p, "matched != 1 branches"))))
         if s.not_ is not None:
-            low = self._lower(s.not_, dtype, base_uri, depth + 1)
+            low = self._lower(s.not_, dtype, base_uri, depth + 1, null_means)
             def vn_fn(c: Column, lo=low) -> Column:
                 return ~F.coalesce(lo.valid(c), F.lit(False))
             add(vn_fn, lambda c, p, v=vn_fn: F.when(v(c), F.array().cast(VIOLATION_SCHEMA))
                 .otherwise(F.array(_viol("not", p, "schema matched but must not"))))
         if s.if_ is not None:
-            if_low = self._lower(s.if_, dtype, base_uri, depth + 1)
-            then_low = self._lower(s.then_, dtype, base_uri, depth + 1) \
+            if_low = self._lower(s.if_, dtype, base_uri, depth + 1, null_means)
+            then_low = self._lower(s.then_, dtype, base_uri, depth + 1, null_means) \
                 if s.then_ is not None else _LOWERED_TRUE
-            else_low = self._lower(s.else_, dtype, base_uri, depth + 1) \
+            else_low = self._lower(s.else_, dtype, base_uri, depth + 1, null_means) \
                 if s.else_ is not None else _LOWERED_TRUE
             add(
                 lambda c: F.when(F.coalesce(if_low.valid(c), F.lit(False)),

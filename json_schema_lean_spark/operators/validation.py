@@ -123,7 +123,7 @@ def validate_documents_exploded(
             if k in ("$id", "definitions", "$defs")}, **({"allOf": [items]})},
         uri=uri, registry=registry)
     elem_t = df.schema[spans_col].dataType.elementType
-    elem_low = elem_comp.lower(elem_t)
+    elem_low = elem_comp.lower(elem_t, null_means="null")
 
     # doc-level checks are row-local: evaluate them BEFORE the explode so the
     # document (and its spans array) is never duplicated per span row. Only
@@ -228,7 +228,7 @@ def violation_rows_fast(
             if k in ("$id", "definitions", "$defs")}, **({"allOf": [items]})},
         uri=uri, registry=registry)
     elem_t = df.schema[spans_col].dataType.elementType
-    elem_low = elem_comp.lower(elem_t)
+    elem_low = elem_comp.lower(elem_t, null_means="null")
 
     ids = id_cols if id_cols is not None else [df.columns[0]]
     instance = F.struct(*[F.col(c) for c in df.columns])

@@ -121,6 +121,11 @@ def fused_items_verdict(comp: ColumnarCompiler, items_schema: Schema,
 
     clauses: list[Column] = []
 
+    # a NULL element is JSON null: it fails "type":"object" unless "null"
+    # is also allowed (see compiler null_means="null" semantics)
+    if "any" not in s.types and "null" not in s.types:
+        clauses.append(F.size(F.array_compact(arr)) == n)
+
     if s.required:
         for k in s.required:
             if k not in field_type:

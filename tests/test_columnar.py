@@ -180,6 +180,44 @@ def test_violation_rows_fast_no_shuffle(spark):
     assert "Exchange" not in buf.getvalue()
 
 
+def test_null_array_element_is_json_null(spark):
+    """A NULL array element is a JSON null (fails type checks that exclude
+    null); a NULL struct FIELD is an absent key (passes). All strategies."""
+    from json_schema_lean_spark.interpreter import validate_json
+    from json_schema_lean_spark.operators.validation import (
+        validate_documents_exploded,
+        violation_rows_fast,
+    )
+    from json_schema_lean_spark.plans import validate_documents_fused
+
+    cases = [
+        ({"properties": {"arr": {"items": {"type": "integer"}}}}, [1, None], False),
+        ({"properties": {"arr": {"items": {"type": ["integer", "null"]}}}}, [1, None], True),
+        ({"properties": {"arr": {"items": {"enum": [1, None]}}}}, [None], True),
+        ({"properties": {"arr": {"items": {"enum": [1, 2]}}}}, [None], False),
+        ({"properties": {"arr": {"items": {"const": None}}}}, [None], True),
+        ({"properties": {"arr": {"contains": {"type": "null"}}}}, [1, 2], False),
+        ({"properties": {"arr": {"contains": {"type": "null"}}}}, [1, None], True),
+    ]
+    for schema, arr, expected in cases:
+        assert validate_json(schema, {"arr": arr}) is expected, (schema, arr)
+        df = spark.createDataFrame([(arr,)], "arr: array<long>")
+        got = validate_dataframe(df, schema).collect()[0]["valid"]
+        assert got == expected, ("columnar", schema, arr)
+
+    rows = [("doc-a", [{"kind": "text", "text": "x", "media_ref": None,
+                        "offset": 0}, None])]
+    df = spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    assert validate_dataframe(df, SPAN_SCHEMA).collect()[0]["valid"] is False
+    assert validate_documents_fused(df, SPAN_SCHEMA,
+                                    keep_cols=["doc_id"]).collect()[0]["valid"] is False
+    assert validate_documents_exploded(df, SPAN_SCHEMA).collect()[0]["valid"] is False
+    vr = violation_rows_fast(df, SPAN_SCHEMA, id_cols=["doc_id"]).collect()
+    assert [(r["keyword"], r["json_pointer"]) for r in vr] == [("type", "/spans/1")]
+
+
 def test_scalar_keywords_columnar(spark):
     df = spark.createDataFrame(
         [(1, "abc", 4.0), (-2, "x", 3.5), (7, "abcdef", 9.0)],
