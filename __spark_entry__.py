@@ -278,6 +278,33 @@ def _q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", 0.99), 6).alias("p99"))
 
 
+def _q_suite_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the JSON-Schema-Test-Suite-shaped fixtures through the Spark
+    path and return DISAGREEMENTS with the expected (reference-semantics)
+    verdicts. Self-checking: an empty result means full conformance.
+    Rows-only for the driver (a SQL oracle cannot validate JSON Schema)."""
+    import json as _json
+    from pathlib import Path
+
+    from json_schema_lean_spark.operators.validation import suite_validator_udf
+
+    suite_dir = Path(__file__).resolve().parent / "fixtures" / "suite"
+    rows = []
+    for fp in sorted(suite_dir.glob("*.json")):
+        for ci, case in enumerate(_json.loads(fp.read_text())):
+            for ti, test in enumerate(case["tests"]):
+                rows.append((f"{fp.stem}/{ci}/{ti}",
+                             _json.dumps(case["schema"], sort_keys=True),
+                             _json.dumps(test["data"]),
+                             test["valid"]))
+    df = spark.createDataFrame(
+        rows, "test_id string, schema_json string, instance_json string, expected boolean")
+    udf = suite_validator_udf()
+    got = df.withColumn("valid", udf(F.col("schema_json"), F.col("instance_json")))
+    return got.where(F.col("valid") != F.col("expected")) \
+              .select("test_id", "expected", "valid")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": _q_validate_documents,
@@ -306,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "users_click_and_purchase": _q_users_click_and_purchase,
         "event_value_percentiles": _q_event_value_percentiles,
+        "suite_conformance": _q_suite_conformance,  # rows-only; 0 rows = pass
     }
 
 
