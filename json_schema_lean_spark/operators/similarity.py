@@ -53,6 +53,71 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   .select("query_id", "neighbor_id", "rank"))
 
 
+def ivf_index(corpus: DataFrame, n_centroids: int = 16, seed: int = 42,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              sample_fraction: float = 1.0):
+    """IVF coarse quantizer: k-means centroids (pyspark.ml, seeded — fit on
+    a sample at scale) + cluster assignment for every corpus row. Returns
+    (assigned_corpus, centroids) where centroids is a small driver-side list
+    (the broadcastable 'index')."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    featurized = corpus.withColumn(
+        "_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    fit_on = featurized.sample(sample_fraction, seed=seed) \
+        if sample_fraction < 1.0 else featurized
+    model = (KMeans(k=n_centroids, seed=seed, featuresCol="_features",
+                    predictionCol="_cluster")
+             .fit(fit_on))
+    assigned = model.transform(featurized).drop("_features")
+    centroids = [list(c) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def _nearest_centroids(vec: Column, centroids: list[list[float]],
+                       nprobe: int) -> Column:
+    """Array of the nprobe nearest centroid ids (euclidean), pure Columns —
+    the centroid list is a literal (broadcast-sized by construction)."""
+    dists = [
+        (ci, F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in c]),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v))
+        for ci, c in enumerate(centroids)
+    ]
+    pairs = F.array(*[F.struct(d.alias("d"), F.lit(ci).cast("int").alias("c"))
+                      for ci, d in dists])
+    top = F.slice(F.array_sort(pairs), 1, nprobe)
+    return F.transform(top, lambda s: s.getField("c"))
+
+
+def ivf_topk(assigned: DataFrame, centroids: list[list[float]],
+             queries: DataFrame, k: int = 5, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF search: each query scores ONLY rows in its nprobe nearest
+    clusters. The probe join keys on the cluster id (queries broadcast), so
+    corpus work scales with nprobe/n_centroids of the data instead of all of
+    it — the 100 TB alternative to the brute-force cross product."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"))
+    q = q.withColumn("_probe", F.explode(
+        _nearest_centroids(F.col("q_vec"), centroids, nprobe)))
+    c = assigned.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).cast("array<double>").alias("c_vec"),
+                        F.col("_cluster").alias("_probe"))
+    scored = (c.join(F.broadcast(q), "_probe")
+                .where(F.col("neighbor_id") != F.col("query_id"))
+                .select("query_id", "neighbor_id",
+                        cosine(F.col("c_vec"), F.col("q_vec")).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "rank"))
+
+
 def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16,
                          seed: int = 42) -> Column:
     """Random-hyperplane LSH bit signature as a bigint. The 'random'

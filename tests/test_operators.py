@@ -118,6 +118,25 @@ def test_lsh_topk_overlaps_bruteforce(spark):
     assert all(qid in {0, 1, 2} for qid, _ in approx)
 
 
+def test_ivf_topk_recall(spark):
+    from json_schema_lean_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    assigned, centroids = ivf_index(emb, n_centroids=8)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    got = ivf_topk(assigned, centroids, q, k=5, nprobe=4)
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    # nprobe=4 of 8 clusters: expect solid (not perfect) recall
+    assert len(approx & brute) >= len(brute) // 2
+    # determinism
+    approx2 = {(r["query_id"], r["neighbor_id"])
+               for r in ivf_topk(assigned, centroids, q, k=5, nprobe=4).collect()}
+    assert approx == approx2
+
+
 # ---------------- text -------------------------------------------------------
 
 def test_lang_guess(spark):
