@@ -278,6 +278,20 @@ def _q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", 0.99), 6).alias("p99"))
 
 
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_lean_spark.operators.text import quality_score
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _q_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_lean_spark.operators.text import word_ngrams
+    d = _docs(spark, sf_dir)
+    return (d.select(F.explode(word_ngrams(F.col("text"), 3)).alias("ngram"))
+             .groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
+             .where(F.col("n") >= 3))
+
+
 def _q_suite_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the JSON-Schema-Test-Suite-shaped fixtures through the Spark
     path and return DISAGREEMENTS with the expected (reference-semantics)
@@ -334,6 +348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "users_click_and_purchase": _q_users_click_and_purchase,
         "event_value_percentiles": _q_event_value_percentiles,
         "suite_conformance": _q_suite_conformance,  # rows-only; 0 rows = pass
+        "quality_scores": _q_quality_scores,
+        "ngram_vocab": _q_ngram_vocab,
     }
 
 
@@ -584,5 +600,40 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.9), 6) AS p90,
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events
+        """,
+        "quality_scores": """
+            WITH parts AS (
+              SELECT doc_id,
+                CASE WHEN length(text) BETWEEN 20 AND 10000 THEN 1.0
+                     WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END AS len_ok,
+                CASE WHEN length(text) > 0
+                     THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                          / length(text)
+                     ELSE 0.0 END AS pr,
+                CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) > 0
+                     THEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              t -> t IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+                          / len(string_split_regex(trim(lower(text)), '\\s+'))
+                     ELSE 0.0 END AS sr
+              FROM documents)
+            SELECT doc_id,
+                   round((len_ok
+                          + (1.0 - least(pr * 5.0, 1.0))
+                          + (1.0 - least(abs(sr - 0.2) * 2.0, 1.0))) / 3.0, 6)
+                     AS quality
+            FROM parts
+        """,
+        "ngram_vocab": """
+            WITH toks AS (
+              SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents),
+            grams AS (
+              SELECT unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                                 ELSE list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' '))
+                            END) AS ngram
+              FROM toks)
+            SELECT ngram, count(*) AS n FROM grams GROUP BY ngram
+            HAVING count(*) >= 3
         """,
     }

@@ -36,7 +36,7 @@ from json_schema_lean_spark.sources.spansgen import (  # noqa: E402
     asset_catalog,
     spans_documents,
 )
-from __spark_entry__ import EVENT_PROPS_SCHEMA, FLAT_DOC_SCHEMA  # noqa: E402
+from __spark_entry__ import EVENT_PROPS_SCHEMA  # noqa: E402
 
 
 def force(df) -> int:

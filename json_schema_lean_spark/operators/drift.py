@@ -15,8 +15,6 @@ Numerical-Recipes-style formulation).
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

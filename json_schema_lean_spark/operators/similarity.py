@@ -61,7 +61,7 @@ def ivf_index(corpus: DataFrame, n_centroids: int = 16, seed: int = 42,
     (assigned_corpus, centroids) where centroids is a small driver-side list
     (the broadcastable 'index')."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     featurized = corpus.withColumn(
         "_features", array_to_vector(F.col(vec_col).cast("array<double>")))

@@ -6,7 +6,7 @@ survives 100 TB scans; no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # tiny per-language stopword marker sets for the n-gram/stopword language
