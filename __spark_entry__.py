@@ -236,10 +236,13 @@ def _q_nchars_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs + exact Jaccard verification, using the
+    engine-portable md5 hash so DuckDB reproduces the identical pipeline."""
     from json_schema_lean_spark.operators.dedup import (
         minhash_candidate_pairs, ngram_jaccard)
     d = _docs(spark, sf_dir)
-    pairs = minhash_candidate_pairs(d, "text", "doc_id", k=32, bands=16, ngram=3)
+    pairs = minhash_candidate_pairs(d, "text", "doc_id", k=32, bands=16,
+                                    ngram=3, portable=True)
     return ngram_jaccard(pairs, d, "text", "doc_id", ngram=3)
 
 
@@ -342,7 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_building_revenue": _q_q3_building_revenue,
         "lang_guess_counts": _q_lang_guess_counts,
         "nchars_histogram": _q_nchars_histogram,
-        "minhash_pairs": _q_minhash_pairs,      # rows-only (xxhash64 engine-specific)
+        "minhash_pairs": _q_minhash_pairs,      # portable md5 hash: full oracle
         "simhash_groups": _q_simhash_groups,    # rows-only (xxhash64 engine-specific)
         "embedding_near_dups": _q_embedding_near_dups,
         "users_click_and_purchase": _q_users_click_and_purchase,
@@ -367,8 +370,55 @@ _VALID_DOC_EXPR = """
 """
 
 
+def _minhash_oracle_sql(k: int = 32, bands: int = 16) -> str:
+    """Generated DuckDB SQL reproducing the portable-hash MinHash-LSH
+    pipeline exactly (same md5-based hashes, same banding, same Jaccard)."""
+    h = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+    mins = ",\n               ".join(
+        "list_min(list_transform(g, x -> "
+        + h.format(x=f"x || '#{i}'") + "))"
+        for i in range(k))
+    rpb = k // bands
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                      ELSE list_transform(range(1, len(t) - 1),
+                           i -> array_to_string(t[i:i+2], ' '))
+                 END AS g
+          FROM toks),
+        sigs AS (
+          SELECT doc_id,
+               [{mins}] AS sig
+          FROM grams),
+        banded AS (
+          SELECT s.doc_id, bb.band,
+                 {h.format(x=f"array_to_string(sig[bb.band*{rpb}+1 : bb.band*{rpb}+{rpb}], ',')")} AS bucket
+          FROM sigs s, (SELECT unnest(range(0, {bands})) AS band) bb),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+        dg AS (SELECT doc_id, list_distinct(g) AS dgrams FROM grams)
+        SELECT p.id_a, p.id_b,
+               round(CASE WHEN (len(a.dgrams) + len(b.dgrams)
+                               - len(list_intersect(a.dgrams, b.dgrams))) > 0
+                          THEN len(list_intersect(a.dgrams, b.dgrams))::DOUBLE
+                               / (len(a.dgrams) + len(b.dgrams)
+                                  - len(list_intersect(a.dgrams, b.dgrams)))
+                          ELSE 0.0 END, 6) AS jaccard
+        FROM pairs p
+        JOIN dg a ON a.doc_id = p.id_a
+        JOIN dg b ON b.doc_id = p.id_b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "minhash_pairs": _minhash_oracle_sql(32, 16),
         "validate_documents": f"""
             SELECT doc_id, ({_VALID_DOC_EXPR}) AS valid FROM documents
         """,

@@ -37,13 +37,28 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return ranked.where(F.col("_rn") == 1).drop("_fp", "_rn")
 
 
-def minhash_signature(shingles: Column, k: int = 32) -> Column:
-    """k-permutation MinHash via salted xxhash64 of each shingle; the
+def portable_hash64(col: Column, salt: str = "") -> Column:
+    """Engine-portable 60-bit hash: int of the first 15 hex chars of md5.
+    Bit-identical in Spark (conv(substr(md5(x),1,15),16,10)) and DuckDB
+    (CAST('0x'||substr(md5(x),1,15) AS BIGINT)) — lets hash-based operators
+    be oracle-checked across engines. Slower than xxhash64; use only where
+    portability matters."""
+    v = F.concat(col, F.lit(salt)) if salt else col
+    return F.conv(F.substring(F.md5(v), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signature(shingles: Column, k: int = 32,
+                      portable: bool = False) -> Column:
+    """k-permutation MinHash via salted hashing of each shingle; the
     signature is array<bigint> of per-salt minima. Fully columnar.
+    portable=True swaps xxhash64 for the md5-based portable hash (same
+    verdicts, cross-engine reproducible, ~3x slower).
 
     NB: the salt must be closed over via a factory — a default-arg lambda
     would make pyspark treat it as an (element, index) HOF lambda."""
     def salted(i: int):
+        if portable:
+            return lambda s: portable_hash64(s, f"#{i}")
         return lambda s: F.xxhash64(s, F.lit(i))
 
     return F.array(*[
@@ -53,7 +68,7 @@ def minhash_signature(shingles: Column, k: int = 32) -> Column:
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
                             k: int = 32, bands: int = 8,
-                            ngram: int = 3) -> DataFrame:
+                            ngram: int = 3, portable: bool = False) -> DataFrame:
     """LSH candidate pairs: same (band_idx, band-slice of signature) bucket.
 
     Scale shape: the self-join keys on (band, slice-hash) — buckets are tiny
@@ -61,16 +76,20 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
     rows_per_band = k // bands
-    sig = minhash_signature(word_ngrams(F.col(text_col), ngram), k)
+    sig = minhash_signature(word_ngrams(F.col(text_col), ngram), k,
+                            portable=portable)
     with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+
+    def bucket_of(b: int) -> Column:
+        joined = F.array_join(
+            F.transform(F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string")), ",")
+        return portable_hash64(joined) if portable else F.xxhash64(joined)
+
     banded = with_sig.select(
         "_id",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.array_join(
-                    F.transform(F.slice("_sig", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string")), ",")).alias("bucket"))
+            F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
             for b in range(bands)
         ])).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
