@@ -248,7 +248,8 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_lean_spark.operators.dedup import simhash_dup_groups
-    return simhash_dup_groups(_docs(spark, sf_dir), "text", "doc_id")
+    return simhash_dup_groups(_docs(spark, sf_dir), "text", "doc_id",
+                              portable=True)
 
 
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,7 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess_counts": _q_lang_guess_counts,
         "nchars_histogram": _q_nchars_histogram,
         "minhash_pairs": _q_minhash_pairs,      # portable md5 hash: full oracle
-        "simhash_groups": _q_simhash_groups,    # rows-only (xxhash64 engine-specific)
+        "simhash_groups": _q_simhash_groups,    # portable md5 hash: full oracle
         "embedding_near_dups": _q_embedding_near_dups,
         "users_click_and_purchase": _q_users_click_and_purchase,
         "event_value_percentiles": _q_event_value_percentiles,
@@ -416,9 +417,40 @@ def _minhash_oracle_sql(k: int = 32, bands: int = 16) -> str:
     """
 
 
+def _simhash_oracle_sql(ngram: int = 2) -> str:
+    """Generated DuckDB SQL reproducing the portable-hash SimHash grouping
+    exactly (bits 0..59; the md5-based hash has 60 effective bits)."""
+    h = "CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)"
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * sum((h >> {b}) & 1) >= count(*) THEN 1 ELSE 0 END) "
+        f"* {2 ** b}::BIGINT"
+        for b in range(60))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) < {ngram} THEN [array_to_string(t, ' ')]
+                      ELSE list_transform(range(1, len(t) - {ngram - 2}),
+                           i -> array_to_string(t[i:i+{ngram - 1}], ' '))
+                 END AS g
+          FROM toks),
+        hv AS (
+          SELECT doc_id, {h} AS h
+          FROM (SELECT doc_id, unnest(g) AS gram FROM grams)),
+        sh AS (
+          SELECT doc_id, {bit_terms} AS simhash
+          FROM hv GROUP BY doc_id)
+        SELECT simhash, count(*) AS n_rows, min(doc_id) AS keep_id
+        FROM sh GROUP BY simhash
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "minhash_pairs": _minhash_oracle_sql(32, 16),
+        "simhash_groups": _simhash_oracle_sql(2),
         "validate_documents": f"""
             SELECT doc_id, ({_VALID_DOC_EXPR}) AS valid FROM documents
         """,

@@ -121,11 +121,17 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str,
                  .otherwise(F.lit(0.0)), round_to).alias("jaccard"))
 
 
-def simhash64(text: Column, ngram: int = 2) -> Column:
+def simhash64(text: Column, ngram: int = 2, portable: bool = False) -> Column:
     """64-bit SimHash over word n-grams: per-bit weighted majority of shingle
-    hashes, entirely with integer Column ops (shiftright + bitwise AND)."""
+    hashes, entirely with integer Column ops (shiftright + bitwise AND).
+    portable=True uses the md5-based cross-engine hash (60 effective bits;
+    bits 60-63 then never reach majority and stay unset) so DuckDB can
+    reproduce the exact values."""
     shingles = word_ngrams(text, ngram)
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    if portable:
+        hashes = F.transform(shingles, lambda s: portable_hash64(s))
+    else:
+        hashes = F.transform(shingles, lambda s: F.xxhash64(s))
 
     # NB: default-arg lambdas break pyspark HOFs (the param count makes them
     # look like (element, index) lambdas) — close over via a factory instead
@@ -145,9 +151,10 @@ def simhash64(text: Column, ngram: int = 2) -> Column:
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str,
-                       ngram: int = 2) -> DataFrame:
+                       ngram: int = 2, portable: bool = False) -> DataFrame:
     """Groups of documents sharing an identical simhash (near-dup bucket)."""
-    return (df.select(F.col(id_col), simhash64(F.col(text_col), ngram).alias("simhash"))
+    return (df.select(F.col(id_col),
+                      simhash64(F.col(text_col), ngram, portable).alias("simhash"))
               .groupBy("simhash")
               .agg(F.count(F.lit(1)).alias("n_rows"), F.min(id_col).alias("keep_id"))
             )
