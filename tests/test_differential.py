@@ -91,6 +91,51 @@ def row_to_json(t):
     return doc
 
 
+def map_schema():
+    leaf = scalar_schema()
+    return st.builds(
+        lambda props, req, pn_max, addl, maxp: {
+            "type": "object",
+            "properties": {k: v for k, v in props},
+            "required": req,
+            "propertyNames": {"maxLength": pn_max},
+            "additionalProperties": addl,
+            "maxProperties": maxp,
+        },
+        st.lists(st.tuples(st.sampled_from(["a", "b", "cc"]), leaf),
+                 max_size=3, unique_by=lambda t: t[0]),
+        st.lists(st.sampled_from(["a", "b"]), max_size=2, unique=True),
+        st.integers(1, 3),
+        st.one_of(st.booleans(), leaf),
+        st.integers(0, 4),
+    )
+
+
+def map_rows():
+    key = st.sampled_from(["a", "b", "cc", "dddd"])
+    return st.lists(
+        st.one_of(st.none(),
+                  st.dictionaries(key, st.integers(-5, 5), max_size=4)),
+        min_size=1, max_size=6)
+
+
+@pytest.mark.slow
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(schema=map_schema(), data=map_rows())
+def test_map_lowering_agrees_with_interpreter(spark, schema, data):
+    ref = CompiledValidator(schema)
+    expected = [True if m is None else ref.is_valid(dict(m)) for m in data]
+    df = spark.createDataFrame([(m,) for m in data], "m: map<string,long>")
+    try:
+        out = validate_dataframe(df, schema, doc_col="m")
+    except CompileFallback:
+        return
+    got = [r["valid"] for r in out.collect()]
+    assert got == expected, (schema, data, got, expected)
+
+
 @pytest.mark.slow
 @settings(max_examples=40, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
