@@ -296,6 +296,12 @@ def _q_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
              .where(F.col("n") >= 3))
 
 
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_lean_spark.operators.text import winnow_fingerprint
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", winnow_fingerprint(F.col("text")).alias("winnow_fp"))
+
+
 def _q_suite_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the JSON-Schema-Test-Suite-shaped fixtures through the Spark
     path and return DISAGREEMENTS with the expected (reference-semantics)
@@ -354,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_conformance": _q_suite_conformance,  # rows-only; 0 rows = pass
         "quality_scores": _q_quality_scores,
         "ngram_vocab": _q_ngram_vocab,
+        "winnow_fingerprints": _q_winnow_fingerprints,
     }
 
 
@@ -704,6 +711,24 @@ def oracle_sql() -> dict[str, str]:
                           + (1.0 - least(abs(sr - 0.2) * 2.0, 1.0))) / 3.0, 6)
                      AS quality
             FROM parts
+        """,
+        "winnow_fingerprints": """
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN length(s) < 5 THEN [s]
+                          ELSE list_transform(range(1, length(s) - 3),
+                               i -> substr(s, i, 5))
+                     END AS g
+              FROM norm)
+            SELECT doc_id,
+                   list_min(list_transform(g,
+                     x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)))
+                     AS winnow_fp
+            FROM grams
         """,
         "ngram_vocab": """
             WITH toks AS (

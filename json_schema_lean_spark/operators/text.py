@@ -100,6 +100,16 @@ def char_ngrams(text: Column, n: int = 5) -> Column:
                     lambda i: norm.substr(i, F.lit(n))))
 
 
+def winnow_fingerprint(text: Column, n: int = 5) -> Column:
+    """Rolling-hash document fingerprint (winnowing-style): minimum of the
+    hashes of all character n-gram windows of the normalized text. Robust to
+    local edits outside the minimal window; cross-engine reproducible via the
+    portable md5 hash (see operators/dedup.portable_hash64)."""
+    from .dedup import portable_hash64
+    return F.array_min(F.transform(char_ngrams(text, n),
+                                   lambda g: portable_hash64(g)))
+
+
 def word_ngrams(text: Column, n: int = 3) -> Column:
     """Array of word n-gram strings (for n-gram Jaccard near-dup)."""
     toks = F.split(F.lower(F.trim(text)), "\\s+")
