@@ -218,6 +218,31 @@ def test_null_array_element_is_json_null(spark):
     assert [(r["keyword"], r["json_pointer"]) for r in vr] == [("type", "/spans/1")]
 
 
+def test_nested_array_lowering(spark):
+    """array<array<long>>: items.items recursion with JSON-null element
+    semantics at both depths."""
+    from json_schema_lean_spark.interpreter import validate_json
+
+    schema = {"properties": {"m": {
+        "items": {"type": "array", "minItems": 1,
+                  "items": {"type": "integer", "minimum": 0}}}}}
+    rows = [
+        ([[1, 2], [3]], True),
+        ([[1, -2]], False),      # inner minimum
+        ([[]], False),           # inner minItems
+        ([[1], None], False),    # null inner array is JSON null, not array
+        ([], True),
+        (None, True),            # absent key
+    ]
+    df = spark.createDataFrame([(m,) for m, _ in rows], "m: array<array<long>>")
+    got = [r["valid"] for r in validate_dataframe(df, schema).collect()]
+    expected = [e for _, e in rows]
+    assert got == expected
+    for (m, e) in rows:
+        if m is not None:
+            assert validate_json(schema, {"m": m}) is e, m
+
+
 def test_scalar_keywords_columnar(spark):
     df = spark.createDataFrame(
         [(1, "abc", 4.0), (-2, "x", 3.5), (7, "abcdef", 9.0)],
