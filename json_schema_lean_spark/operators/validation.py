@@ -266,6 +266,18 @@ def violation_rows_fast(
     )
 
 
+def partition_verdict_metrics(validated: DataFrame) -> DataFrame:
+    """Per-partition pass/fail metrics (north_star): one row per physical
+    partition with (partition_id, rows, valid_rows, violations). Map-side
+    partial aggregation collapses each partition to one row before the
+    (tiny) exchange."""
+    return (validated
+            .groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows"),
+                 F.sum(F.col("valid").cast("long")).alias("valid_rows"),
+                 F.sum(F.size("violations").cast("long")).alias("violations")))
+
+
 def violation_rows(validated: DataFrame, id_cols: list[str],
                    span_field: str = "spans") -> DataFrame:
     """Explode violations to one row each:

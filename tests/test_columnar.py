@@ -218,6 +218,19 @@ def test_null_array_element_is_json_null(spark):
     assert [(r["keyword"], r["json_pointer"]) for r in vr] == [("type", "/spans/1")]
 
 
+def test_partition_verdict_metrics(spark):
+    from json_schema_lean_spark.operators.validation import (
+        partition_verdict_metrics,
+    )
+
+    docs = spans_documents(spark, 500).repartition(4)
+    v = validate_dataframe(docs, SPAN_SCHEMA)
+    m = partition_verdict_metrics(v).collect()
+    assert sum(r["rows"] for r in m) == v.count()
+    assert sum(r["valid_rows"] for r in m) == v.where("valid").count()
+    assert len(m) <= 4 and all(r["rows"] > 0 for r in m)
+
+
 def test_nested_array_lowering(spark):
     """array<array<long>>: items.items recursion with JSON-null element
     semantics at both depths."""
