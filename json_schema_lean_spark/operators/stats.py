@@ -76,6 +76,27 @@ def duplicate_keys(df: DataFrame, key: str, salt_partitions: int = 0) -> DataFra
     return per_key.where(F.col("n") > 1)
 
 
+def distinct_count_per_key(df: DataFrame, key: str, val: str,
+                           salt_partitions: int = 0) -> DataFrame:
+    """Exact per-key distinct-value counts.
+
+    Measured finding (BENCH/BASELINE.md skew section): Spark's countDistinct
+    rewrite already aggregates on (key, value) first, so a hot KEY spreads
+    across reducers by value hash natively — the default form wins even with
+    a 5% hot key. The salted two-phase form (explicit repartition on
+    (key, hash(value)) then dedup+count) is kept for custom aggregations the
+    rewrite doesn't cover (e.g. collect_list payloads) and engines without
+    the distinct expansion."""
+    if salt_partitions > 0:
+        # phase 1: dedup (key, val) pairs with the hot key spread by val hash
+        deduped = (df.select(F.col(key), F.col(val))
+                     .repartition(salt_partitions * 8,
+                                  F.col(key), F.xxhash64(F.col(val)))
+                     .dropDuplicates([key, val]))
+        return deduped.groupBy(key).agg(F.count(F.lit(1)).alias("n_distinct"))
+    return df.groupBy(key).agg(F.countDistinct(val).alias("n_distinct"))
+
+
 def approx_distinct(df: DataFrame, cols: list[str], rsd: float = 0.02) -> DataFrame:
     """HLL++ approximate distinct counts, one row per column."""
     aggs = [F.approx_count_distinct(c, rsd).alias(f"{c}__ad") for c in cols]
