@@ -70,6 +70,41 @@ def baseline_stats(df: DataFrame, cols: list[str], run_id: str,
 # two-sample statistics over binned histograms (driver-side, bounded size)
 # ---------------------------------------------------------------------------
 
+def save_baseline(spark, rows: list[dict], path: str) -> None:
+    """Persist baseline rows as the FIXTURES.md §3-shaped stats table
+    (one long-format row per (run_id, column, metric) + histogram arrays)."""
+    long_rows = []
+    for r in rows:
+        for metric in ("count", "mean", "min", "max"):
+            long_rows.append((r["run_id"], r["column"], metric,
+                              float(r[metric]), None, None))
+        long_rows.append((r["run_id"], r["column"], "hist", None,
+                          [float(x) for x in r["hist_bins"]],
+                          [int(c) for c in r["hist_counts"]]))
+    df = spark.createDataFrame(
+        long_rows,
+        "run_id string, column string, metric string, value double, "
+        "hist_bins array<double>, hist_counts array<bigint>")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_baseline(spark, path: str, run_id: str | None = None) -> list[dict]:
+    """Read a persisted baseline back into drift_report's input shape."""
+    df = spark.read.parquet(path)
+    if run_id is not None:
+        df = df.where(df.run_id == run_id)
+    by_col: dict[tuple, dict] = {}
+    for r in df.collect():
+        key = (r["run_id"], r["column"])
+        d = by_col.setdefault(key, {"run_id": r["run_id"], "column": r["column"]})
+        if r["metric"] == "hist":
+            d["hist_bins"] = list(r["hist_bins"])
+            d["hist_counts"] = [int(x) for x in r["hist_counts"]]
+        else:
+            d[r["metric"]] = r["value"]
+    return list(by_col.values())
+
+
 def ks_from_histograms(a: list[int], b: list[int]) -> float:
     """Two-sample KS statistic from two aligned histograms: max CDF gap."""
     na, nb = sum(a), sum(b)

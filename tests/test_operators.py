@@ -54,6 +54,16 @@ def test_drift_detects_shift(spark, docs):
     assert r["ks_stat"] > 0.3
 
 
+def test_baseline_roundtrip_and_drift(spark, docs, tmp_path):
+    base = drift_ops.baseline_stats(docs, ["n_chars", "doc_id"], run_id="r0")
+    path = str(tmp_path / "baseline")
+    drift_ops.save_baseline(spark, base, path)
+    loaded = drift_ops.load_baseline(spark, path, run_id="r0")
+    assert {r["column"] for r in loaded} == {"n_chars", "doc_id"}
+    report = drift_ops.drift_report(docs, loaded)
+    assert all(not r["ks_drifted"] for r in report)
+
+
 def test_chi_square_pvalue_sane():
     # chi2 CDF checkpoints (vs published tables)
     assert abs(drift_ops.chi_square_pvalue(3.841, 1) - 0.05) < 0.002
