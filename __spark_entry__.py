@@ -296,6 +296,11 @@ def _q_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
              .where(F.col("n") >= 3))
 
 
+def _q_distinct_sources_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_lean_spark.operators.stats import distinct_count_per_key
+    return distinct_count_per_key(_docs(spark, sf_dir), "lang", "source")
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_lean_spark.operators.text import winnow_fingerprint
     d = _docs(spark, sf_dir)
@@ -361,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "ngram_vocab": _q_ngram_vocab,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "distinct_sources_per_lang": _q_distinct_sources_per_lang,
     }
 
 
@@ -711,6 +717,10 @@ def oracle_sql() -> dict[str, str]:
                           + (1.0 - least(abs(sr - 0.2) * 2.0, 1.0))) / 3.0, 6)
                      AS quality
             FROM parts
+        """,
+        "distinct_sources_per_lang": """
+            SELECT lang, count(DISTINCT source)::BIGINT AS n_distinct
+            FROM documents GROUP BY lang
         """,
         "winnow_fingerprints": """
             WITH norm AS (
