@@ -122,16 +122,21 @@ def fused_items_verdict(comp: ColumnarCompiler, items_schema: Schema,
     clauses: list[Column] = []
 
     # a NULL element is JSON null: it fails "type":"object" unless "null"
-    # is also allowed (see compiler null_means="null" semantics)
-    if "any" not in s.types and "null" not in s.types:
+    # (or "any") is allowed (see compiler null_means="null" semantics)
+    nulls_legal = "any" in s.types or "null" in s.types
+    if not nulls_legal:
         clauses.append(F.size(F.array_compact(arr)) == n)
+    # element-count baseline for key-presence checks: when null elements are
+    # legal they must NOT count as objects-missing-the-key, so required
+    # compares against the NON-NULL element count
+    n_objs = F.size(F.array_compact(arr)) if nulls_legal else n
 
     if s.required:
         for k in s.required:
             if k not in field_type:
-                clauses.append(n == 0)  # key can never be present
+                clauses.append(n_objs == 0)  # key can never be present
             else:
-                clauses.append(F.size(F.array_compact(arr.getField(k))) == n)
+                clauses.append(F.size(F.array_compact(arr.getField(k))) == n_objs)
 
     for name, sub in (s.properties or []):
         if name not in field_type:

@@ -218,6 +218,30 @@ def test_null_array_element_is_json_null(spark):
     assert [(r["keyword"], r["json_pointer"]) for r in vr] == [("type", "/spans/1")]
 
 
+def test_fused_null_legal_elements(spark):
+    """When items type includes 'null', a null span element is LEGAL and must
+    not count as an object missing required keys (code-review regression)."""
+    import json as _json
+    from json_schema_lean_spark.plans import validate_documents_fused
+
+    schema = _json.loads(_json.dumps(SPAN_SCHEMA))
+    schema["definitions"]["span"]["type"] = ["object", "null"]
+    rows = [("doc-a", [{"kind": "text", "text": "x", "media_ref": None,
+                        "offset": 0}, None]),
+            ("doc-b", [None]),
+            ("doc-c", [{"kind": None, "text": "x", "media_ref": None,
+                        "offset": 0}])]
+    df = spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    fused = {r["doc_id"]: r["valid"]
+             for r in validate_documents_fused(df, schema,
+                                               keep_cols=["doc_id"]).collect()}
+    forall = {r["doc_id"]: r["valid"]
+              for r in validate_dataframe(df, schema).collect()}
+    assert fused == forall == {"doc-a": True, "doc-b": True, "doc-c": False}
+
+
 def test_partition_verdict_metrics(spark):
     from json_schema_lean_spark.operators.validation import (
         partition_verdict_metrics,
