@@ -165,7 +165,20 @@ class CheckpointedValidation:
                          rows, valid, viols)
 
     def results(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.out_dir}/parts/*")
+        """Combined output of the CURRENT unit plan only. Parts directories
+        left behind by units that no longer exist (input file set shrank or
+        reshuffled — unit ids are positional) are excluded, preserving the
+        row-identical-to-fresh-run resume guarantee (ADVICE r1)."""
+        files = list_input_files(self.input_path)
+        units = plan_units(files, self.files_per_unit)
+        paths = [f"{self.out_dir}/parts/{unit_id}"
+                 for unit_id, chunk in units
+                 if self._completed(unit_id, _file_surrogate(chunk))
+                 and os.path.isdir(f"{self.out_dir}/parts/{unit_id}")]
+        if not paths:
+            raise FileNotFoundError(
+                "no completed units for the current input plan; run() first")
+        return self.spark.read.parquet(*paths)
 
     def manifest(self) -> list[dict]:
         out = []

@@ -148,6 +148,8 @@ class ColumnarCompiler:
     ) -> None:
         self.schema: Schema = parse_schema(schema_json)
         self.root_uri = uri
+        self._schema_json = schema_json
+        self._registry = registry
         self.resolver = Resolver()
         self.resolver.add_schema(schema_json, uri)
         if registry:
@@ -163,6 +165,28 @@ class ColumnarCompiler:
         shredding mapping) or 'null' (a JSON null — array elements, where
         type/const/enum must see an actual null value)."""
         return self._lower(self.schema, dtype, self.root_uri, 0, null_means)
+
+    def lower_node(self, schema: Any, dtype: DataType,
+                   base_uri: Optional[str] = None,
+                   null_means: str = "absent") -> Lowered:
+        """Lower an arbitrary schema NODE (raw JSON or parsed Schema) with
+        THIS compiler's full resolver context: root-relative $refs (e.g.
+        '#/properties/spans/items') resolve against the registered root
+        schema, exactly as on the interpreter path. Used by the explode /
+        violation-row strategies to compile items/doc subplans without a
+        lossy synthetic root (ADVICE r1)."""
+        node = schema if isinstance(schema, (bool, SchemaObject)) \
+            else parse_schema(schema)
+        uri = self.root_uri if base_uri is None else base_uri
+        return self._lower(node, dtype, uri, 0, null_means)
+
+    def root_base_uri(self) -> str:
+        """root_uri rebased by the root schema's $id, i.e. the base URI in
+        effect for nodes inside the root (matches _lower's rebase)."""
+        s = self.schema
+        if isinstance(s, SchemaObject) and s.id is not None:
+            return resolve_uri(self.root_uri, s.id)
+        return self.root_uri
 
     # ------------------------------------------------------------------
 
@@ -263,8 +287,13 @@ class ColumnarCompiler:
                 add_typed(lambda c: F.lit(True))
             return
         if "integer" in s.types and isinstance(dtype, _FRACTIONAL):
-            # integer refinement: zero fraction (1.0 IS an integer)
-            add_typed(lambda c: c.cast("double") == F.floor(c.cast("double")),
+            # integer refinement: zero fraction (1.0 IS an integer) AND
+            # finite — the reference requires Float.isInt ∧ isFinite, and in
+            # Spark NaN == floor(NaN) is TRUE (NaN equals NaN), so both NaN
+            # and ±Inf need explicit guards (ADVICE r1; mirrors multipleOf)
+            add_typed(lambda c: (c.cast("double") == F.floor(c.cast("double")))
+                      & ~F.isnan(c.cast("double"))
+                      & (F.abs(c.cast("double")) != float("inf")),
                       "expected integer")
             return
         add_typed(lambda c: F.lit(False))
@@ -424,9 +453,16 @@ class ColumnarCompiler:
             if isinstance(pn, bool):
                 bad = [] if pn else list(names)
             else:
+                # evaluate the subschema with the FULL resolver context (root
+                # registry + current base URI) so $refs inside propertyNames
+                # resolve exactly as on the MapType/interpreter paths
+                # (ADVICE r1: a bare CompiledValidator(pn.raw) lost the
+                # registry and marked every name bad)
                 from .interpreter import CompiledValidator
-                name_validator = CompiledValidator(pn.raw if pn.raw is not None else {})
-                bad = [k for k in names if not name_validator.is_valid(k)]
+                nv = CompiledValidator(self._schema_json, uri=self.root_uri,
+                                       registry=self._registry)
+                bad = [k for k in names
+                       if not nv._passes(pn, k, base_uri, nv.fuel)]
             if bad:
                 add_simple(lambda c, b=bad: ~reduce(lambda x, y: x | y,
                                                     (present(c, k) for k in b)),

@@ -105,25 +105,24 @@ def validate_documents_exploded(
     if items is None or isinstance(items, list):
         raise CompileFallback("explode strategy needs Single-items semantics")
 
-    # --- doc-level plan: same schema minus the spans items subschema -------
+    # --- doc-level plan: same schema minus the spans items subschema, but
+    # compiled with the ORIGINAL root registered so root-relative $refs
+    # (e.g. '#/properties/x') still resolve (ADVICE r1) -------------------
     doc_schema_json = dict(parsed.raw)
     doc_props = dict(doc_schema_json.get("properties", {}))
     span_prop_doc = dict(span_prop)
     span_prop_doc.pop("items", None)  # array-size keywords stay doc-level
     doc_props[spans_col] = span_prop_doc
     doc_schema_json["properties"] = doc_props
-    doc_comp = ColumnarCompiler(doc_schema_json, uri=uri, registry=registry)
+    comp = ColumnarCompiler(schema_json, uri=uri, registry=registry)
     doc_dtype = StructType([f for f in df.schema.fields])
-    doc_low = doc_comp.lower(doc_dtype)
+    doc_low = comp.lower_node(doc_schema_json, doc_dtype, base_uri=uri)
 
-    # --- span-level plan: items subschema against the element struct -------
-    # $refs inside items resolve against the ORIGINAL root schema registry
-    elem_comp = ColumnarCompiler(
-        {**{k: v for k, v in (parsed.raw or {}).items()
-            if k in ("$id", "definitions", "$defs")}, **({"allOf": [items]})},
-        uri=uri, registry=registry)
+    # --- span-level plan: items subschema against the element struct,
+    # lowered as a NODE of the root compiler (full resolver context) ------
     elem_t = df.schema[spans_col].dataType.elementType
-    elem_low = elem_comp.lower(elem_t, null_means="null")
+    elem_low = comp.lower_node(items, elem_t, base_uri=comp.root_base_uri(),
+                               null_means="null")
 
     # doc-level checks are row-local: evaluate them BEFORE the explode so the
     # document (and its spans array) is never duplicated per span row. Only
@@ -212,23 +211,21 @@ def violation_rows_fast(
         raise CompileFallback("violation_rows_fast needs Single-items semantics")
 
     # doc-level plan (schema minus items) + span-level plan, as in the
-    # explode strategy
+    # explode strategy: both lowered as NODES of the root compiler so
+    # root-relative $refs keep resolving (ADVICE r1)
     doc_schema_json = dict(parsed.raw)
     doc_props = dict(doc_schema_json.get("properties", {}))
     span_prop_doc = dict(span_prop)
     span_prop_doc.pop("items", None)
     doc_props[spans_col] = span_prop_doc
     doc_schema_json["properties"] = doc_props
-    doc_comp = ColumnarCompiler(doc_schema_json, uri=uri, registry=registry)
+    comp = ColumnarCompiler(schema_json, uri=uri, registry=registry)
     doc_dtype = StructType([f for f in df.schema.fields])
-    doc_low = doc_comp.lower(doc_dtype)
+    doc_low = comp.lower_node(doc_schema_json, doc_dtype, base_uri=uri)
 
-    elem_comp = ColumnarCompiler(
-        {**{k: v for k, v in (parsed.raw or {}).items()
-            if k in ("$id", "definitions", "$defs")}, **({"allOf": [items]})},
-        uri=uri, registry=registry)
     elem_t = df.schema[spans_col].dataType.elementType
-    elem_low = elem_comp.lower(elem_t, null_means="null")
+    elem_low = comp.lower_node(items, elem_t, base_uri=comp.root_base_uri(),
+                               null_means="null")
 
     ids = id_cols if id_cols is not None else [df.columns[0]]
     instance = F.struct(*[F.col(c) for c in df.columns])

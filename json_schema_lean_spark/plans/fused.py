@@ -62,8 +62,12 @@ class FusedUnsupported(Exception):
     """Schema/keyword outside the fused subset — use a general strategy."""
 
 
-#: pattern of patterns we can fuse: anchored literal prefix, no metachars
-_PREFIX_LITERAL = re.compile(r"^\^[A-Za-z0-9_\-:/ .@]+$")
+#: pattern of patterns we can fuse: anchored literal prefix, no metachars.
+#: NOTE: '.' is deliberately NOT admitted — it is a regex metacharacter, and
+#: the fused fast/slow paths treat the prefix literally (re.escape /
+#: startswith), so '^foo.bar' must fall back to the general strategies where
+#: it keeps its any-char meaning (ADVICE r1: dotted patterns diverged here).
+_PREFIX_LITERAL = re.compile(r"^\^[A-Za-z0-9_\-:/ @]+$")
 
 
 def _resolve_once(comp: ColumnarCompiler, schema: Schema, base_uri: str,
@@ -278,14 +282,12 @@ def validate_documents_fused(
     span_prop_doc.pop("items", None)
     doc_props[spans_col] = span_prop_doc
     doc_schema_json["properties"] = doc_props
-    doc_comp = ColumnarCompiler(doc_schema_json, uri=uri, registry=registry)
     dtype = StructType([f for f in df.schema.fields])
-    doc_low = doc_comp.lower(dtype)
+    # lowered as a node of the root compiler: root-relative $refs resolve
+    doc_low = comp.lower_node(doc_schema_json, dtype, base_uri=uri)
 
     items_ast = parse_schema(items)
-    root_base = uri if uri else ""
-    if isinstance(parsed.raw, dict) and isinstance(parsed.raw.get("$id"), str):
-        root_base = resolve_uri(root_base, parsed.raw["$id"])
+    root_base = comp.root_base_uri()
     elem_t = df.schema[spans_col].dataType.elementType
     spans_ok = fused_items_verdict(comp, items_ast, root_base,
                                    F.col(spans_col), elem_t)

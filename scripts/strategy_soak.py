@@ -26,6 +26,8 @@ def span_prop():
             st.sampled_from(["text","image","audio","video","x"]), min_size=1, max_size=3)),
         st.builds(lambda n: {"minLength": n}, st.integers(0, 1)),
         st.just({"pattern": "^asset://"}),
+        # dotted pattern: '.' is a metachar — must NOT be fused literally
+        st.just({"pattern": "^foo.bar"}),
         st.builds(lambda m: {"minimum": m}, st.integers(-2, 2)),
         st.builds(lambda m: {"maximum": m}, st.integers(-2, 2)),
         st.builds(lambda t: {"type": t},
@@ -52,7 +54,8 @@ def schema_gen():
 def spans_gen():
     span = st.one_of(st.none(), st.fixed_dictionaries({
         "kind": st.one_of(st.none(), st.sampled_from(["text","image","video"])),
-        "text": st.one_of(st.none(), st.sampled_from(["", "a", "asset://x", "hello"])),
+        "text": st.one_of(st.none(), st.sampled_from(
+            ["", "a", "asset://x", "hello", "fooXbar", "foo.bar", "foobar"])),
         "media_ref": st.one_of(st.none(), st.sampled_from(["asset://b/1", "http://x"])),
         "offset": st.one_of(st.none(), st.integers(-2, 3)),
     }))
