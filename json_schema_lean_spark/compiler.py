@@ -288,12 +288,12 @@ class ColumnarCompiler:
             return
         if "integer" in s.types and isinstance(dtype, _FRACTIONAL):
             # integer refinement: zero fraction (1.0 IS an integer) AND
-            # finite — the reference requires Float.isInt ∧ isFinite, and in
-            # Spark NaN == floor(NaN) is TRUE (NaN equals NaN), so both NaN
-            # and ±Inf need explicit guards (ADVICE r1; mirrors multipleOf)
-            add_typed(lambda c: (c.cast("double") == F.floor(c.cast("double")))
-                      & ~F.isnan(c.cast("double"))
-                      & (F.abs(c.cast("double")) != float("inf")),
+            # finite (reference requires Float.isInt ∧ isFinite; ADVICE r1).
+            # d % 1.0 == 0.0 covers every edge in one shot: NaN % 1 = NaN
+            # != 0, Inf % 1 = NaN != 0 (Spark's NaN==NaN quirk can't help
+            # it), and 1e29 stays in double land where F.floor's BIGINT
+            # result type would overflow.
+            add_typed(lambda c: (c.cast("double") % 1.0) == 0.0,
                       "expected integer")
             return
         add_typed(lambda c: F.lit(False))
@@ -381,9 +381,10 @@ class ColumnarCompiler:
                 add_simple(lambda c: F.lit(False), "multipleOf", "multipleOf 0")
             else:
                 # reference semantics: float division, zero fraction, finite
+                # (x % 1.0 == 0.0 — NaN/Inf quotients give NaN != 0, and no
+                # BIGINT overflow unlike F.floor)
                 add_simple(
-                    lambda c, m=m: (d(c) / m == F.floor(d(c) / m))
-                    & ~F.isnan(d(c) / m) & (F.abs(d(c) / m) != float("inf")),
+                    lambda c, m=m: (d(c) / m % 1.0) == 0.0,
                     "multipleOf", f"not a multiple of {m}")
 
     # ---- objects (StructType shredding) -----------------------------------
@@ -391,7 +392,8 @@ class ColumnarCompiler:
     def _lower_object(self, s: SchemaObject, dtype: DataType, base_uri: str,
                       depth: int, add, add_simple) -> None:
         has_obj_kw = any([
-            s.required, s.properties, s.pattern_properties, s.property_names,
+            s.required, s.properties, s.pattern_properties,
+            s.property_names is not None,
             s.additional_properties is not None, s.max_properties is not None,
             s.min_properties is not None, s.dependencies,
         ])

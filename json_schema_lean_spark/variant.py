@@ -1,0 +1,652 @@
+"""Schema AST -> Spark VARIANT-expression predicate plan: the columnar fast
+path for DYNAMIC JSON columns (VERDICT r1 #3).
+
+The ColumnarCompiler (compiler.py) needs a static Spark DataType to
+specialize against; arbitrary JSON strings used to fall through to the
+Arrow-batch interpreter (~30k rows/s of per-value Python). Spark 4's VARIANT
+type closes that gap: ``try_parse_json`` shreds the JSON once into a binary
+variant, and every keyword lowers to JVM-side variant expressions — no
+Python anywhere:
+
+- per-value JSON type     -> ``schema_of_variant`` ('STRING', 'BIGINT',
+  'DECIMAL(p,s)', 'DOUBLE', 'BOOLEAN', 'VOID', 'OBJECT<...>', 'ARRAY<...>')
+- typed extraction        -> ``try_variant_get(v, '$', T)`` (null on mismatch)
+- object keys/entries     -> ``try_cast(v AS map<string,variant>)`` + map_*
+- array elements          -> ``try_variant_get(v, '$', 'array<variant>')``
+
+Null discipline (probed, pinned in tests/test_variant.py): a SQL NULL
+variant means ABSENT (missing key / failed parse); a JSON ``null`` is a
+NON-null variant whose schema_of_variant is 'VOID' — including inside arrays
+and map values. So unlike the static compiler there is no null_means
+ambiguity: 'null' type checks compare against 'VOID'.
+
+Reference parity: same keyword semantics as the interpreter
+(/root/reference/JsonSchema/Validation.lean:375-424) — unanchored pattern
+search, 1.0-is-integer (finite, zero fraction), numeric-tolerant const/enum,
+$ref overrides siblings, type-guard pass on absent values.
+
+Outside the lowerable subset (uniqueItems deep-equality, const/enum of
+arrays/objects, $ref recursion deeper than MAX_VARIANT_DEPTH — the variant
+path has no DataType to bound recursion, so recursive schemas fall back)
+raises CompileFallback; callers route to the Arrow interpreter.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from .compiler import (
+    VIOLATION_SCHEMA,
+    CompileFallback,
+    Lowered,
+    _LOWERED_TRUE,
+    _cjson,
+    _concat_viols,
+    _viol,
+    java_regex_safe,
+)
+from .resolver import DEFAULT_URI, Resolver, find_ref_cycle, resolve_uri
+from .schema_ast import ABSENT, Schema, SchemaObject, parse_schema
+
+#: variant lowering has no DataType to bound $ref recursion; past this depth
+#: the schema is treated as recursive and routed to the Arrow interpreter
+MAX_VARIANT_DEPTH = 24
+
+_NUM_TYPES = ("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT")
+
+
+def _guard(v: Column, pred: Column) -> Column:
+    """Absent (SQL NULL) passes every keyword; force definite booleans."""
+    return F.when(v.isNull(), F.lit(True)).otherwise(F.coalesce(pred, F.lit(False)))
+
+
+def _cond_viol(v: Column, ok: Column, keyword: str, ptr: Column, msg: str) -> Column:
+    return F.when(_guard(v, ok), F.array().cast(VIOLATION_SCHEMA)) \
+            .otherwise(F.array(_viol(keyword, ptr, msg)))
+
+
+def _ts(v: Column) -> Column:
+    return F.schema_of_variant(v)
+
+
+def _is_num(v: Column) -> Column:
+    # one regex over one schema_of_variant eval (isin|startswith would
+    # evaluate schema_of_variant twice — no CSE in interpreted projections).
+    # Anchored alternation: parse_json can only yield BIGINT/DECIMAL/DOUBLE
+    # numerics, but the int aliases are kept defensively; INTERVAL can't
+    # appear (variants here always come from parse_json).
+    return _ts(v).rlike("^(BIGINT$|INT$|SMALLINT$|TINYINT$|DOUBLE$|FLOAT$|DECIMAL)")
+
+
+def _dval(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "double")
+
+
+def _sval(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "string")
+
+
+def _bval(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "boolean")
+
+
+def _is_integral(v: Column) -> Column:
+    # d % 1.0 == 0.0 is exact for all doubles: NaN % 1 = NaN != 0,
+    # Inf % 1 = NaN != 0, and big values (1e29) stay in double land
+    # (F.floor would overflow its BIGINT result type)
+    d = _dval(v)
+    return (d % 1.0) == 0.0
+
+
+def _vmap(v: Column) -> Column:
+    """Object entries as map<string,variant> (SQL NULL for non-objects)."""
+    return v.try_cast("map<string,variant>")
+
+
+def _varr(v: Column) -> Column:
+    """Array elements as array<variant> (SQL NULL for non-arrays)."""
+    return F.try_variant_get(v, "$", "array<variant>")
+
+
+def _ptr_token(name: str) -> str:
+    return name.replace("~", "~0").replace("/", "~1")
+
+
+_SIMPLE_KEY = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_BRACKET_OK = re.compile(r"^[^'\"\\\x00-\x1f\]]+$")
+
+
+def _child(v: Column, name: str) -> Column:
+    """Child variant for object key `name`: SQL NULL iff the key is ABSENT;
+    a JSON null value comes back as a non-null 'VOID' variant (probed).
+
+    Direct path access (`$.k` / `$['k']`) is ~25% cheaper per row than
+    materializing try_cast(map<string,variant>) + element_at (measured at
+    sf0.1), so the map route is kept only for keys the path grammar can't
+    express safely (quotes/backslashes/control chars/']')."""
+    if _SIMPLE_KEY.match(name):
+        return F.try_variant_get(v, f"$.{name}", "variant")
+    if _BRACKET_OK.match(name):
+        return F.try_variant_get(v, f"$['{name}']", "variant")
+    return F.element_at(_vmap(v), name)
+
+
+class VariantCompiler:
+    """Compile a schema once (driver) into variant-expression predicates."""
+
+    def __init__(
+        self,
+        schema_json: Any,
+        uri: str = DEFAULT_URI,
+        registry: Optional[dict[str, Any]] = None,
+    ) -> None:
+        self.schema: Schema = parse_schema(schema_json)
+        self.root_uri = uri
+        self.resolver = Resolver()
+        self.resolver.add_schema(schema_json, uri)
+        if registry:
+            for reg_uri, reg_schema in registry.items():
+                self.resolver.add_schema(reg_schema, reg_uri)
+        if find_ref_cycle(self.resolver) is not None:
+            # evil cycles can't inline; benign ones (through properties/items)
+            # hit MAX_VARIANT_DEPTH below — either way: Arrow path
+            raise CompileFallback("cyclic schema not lowerable to variant ops")
+
+    def lower(self) -> Lowered:
+        return self._lower(self.schema, self.root_uri, 0)
+
+    # ------------------------------------------------------------------
+
+    def _lower(self, schema: Schema, base_uri: str, depth: int) -> Lowered:
+        if depth > MAX_VARIANT_DEPTH:
+            raise CompileFallback("variant inline depth exceeded (recursive schema)")
+        if isinstance(schema, bool):
+            if schema:
+                return _LOWERED_TRUE
+            return Lowered(
+                valid=lambda v: F.lit(False),
+                violations=lambda v, p: F.array(
+                    _viol("false", p, "Boolean schema 'false' rejects all values")),
+            )
+        s = schema
+        assert isinstance(s, SchemaObject)
+
+        if s.ref is not None:  # $ref overrides siblings (Draft 7)
+            target = resolve_uri(base_uri, s.ref)
+            root, subpath = self.resolver.resolve_path(target)
+            got = self.resolver.get_schema_and_uri(root, subpath)
+            if got is None:
+                return Lowered(
+                    valid=lambda v: F.lit(False),
+                    violations=lambda v, p: F.array(
+                        _viol("$ref", p, f"Could not find {target!r}")),
+                )
+            sub, new_uri = got
+            return self._lower(sub, new_uri, depth + 1)
+
+        if s.id is not None:
+            base_uri = resolve_uri(base_uri, s.id)
+
+        valid_parts: list[Callable[[Column], Column]] = []
+        viol_parts: list[Callable[[Column, Column], Column]] = []
+
+        def add(valid_fn, viol_fn) -> None:
+            valid_parts.append(valid_fn)
+            viol_parts.append(viol_fn)
+
+        def add_simple(ok_fn, keyword: str, msg: str) -> None:
+            add(lambda v, ok=ok_fn: _guard(v, ok(v)),
+                lambda v, p, ok=ok_fn, kw=keyword, m=msg:
+                _cond_viol(v, ok(v), kw, p, m))
+
+        self._lower_type(s, add_simple)
+        self._lower_const_enum(s, add_simple)
+        self._lower_string(s, add_simple)
+        self._lower_numeric(s, add_simple)
+        self._lower_object(s, base_uri, depth, add, add_simple)
+        self._lower_array(s, base_uri, depth, add, add_simple)
+        self._lower_combinators(s, base_uri, depth, add)
+
+        if not valid_parts:
+            return _LOWERED_TRUE
+
+        def valid(v: Column) -> Column:
+            return reduce(lambda a, b: a & b, (fn(v) for fn in valid_parts))
+
+        def violations(v: Column, p: Column) -> Column:
+            return _concat_viols([fn(v, p) for fn in viol_parts])
+
+        return Lowered(valid=valid, violations=violations)
+
+    # ---- type ---------------------------------------------------------
+
+    def _lower_type(self, s: SchemaObject, add_simple) -> None:
+        if "any" in s.types:
+            return
+        names = list(s.types)
+
+        def one(t: str, v: Column) -> Column:
+            ts = _ts(v)
+            if t == "string":
+                return ts == "STRING"
+            if t == "boolean":
+                return ts == "BOOLEAN"
+            if t == "null":
+                return ts == "VOID"
+            if t == "object":
+                return ts.startswith("OBJECT")
+            if t == "array":
+                return ts.startswith("ARRAY")
+            if t == "number":
+                return _is_num(v)
+            if t == "integer":
+                return _is_num(v) & _is_integral(v)
+            return F.lit(False)  # unknown type name matches nothing
+
+        if not names:
+            add_simple(lambda v: F.lit(False), "type", "expected one of []")
+        else:
+            add_simple(lambda v, ns=names: reduce(lambda a, b: a | b,
+                                                  (one(t, v) for t in ns)),
+                       "type", f"expected one of {names}")
+
+    # ---- const / enum ---------------------------------------------------
+
+    def _scalar_eq(self, v: Column, value: Any) -> Column:
+        if value is None:
+            return _ts(v) == "VOID"
+        if isinstance(value, bool):
+            return (_ts(v) == "BOOLEAN") & (_bval(v) == value)
+        if isinstance(value, (int, float)):
+            # numeric-tolerant equality (reference compares as Float)
+            return _is_num(v) & (_dval(v) == float(value))
+        if isinstance(value, str):
+            return (_ts(v) == "STRING") & (_sval(v) == value)
+        raise CompileFallback("const/enum of array/object values")
+
+    def _lower_const_enum(self, s: SchemaObject, add_simple) -> None:
+        if s.const is not ABSENT:
+            cval = s.const
+            if isinstance(cval, (list, dict)):
+                raise CompileFallback("const of array/object values")
+            add_simple(lambda v, cv=cval: self._scalar_eq(v, cv),
+                       "const", f"expected {_cjson(cval)}")
+        if s.enum is not None:
+            vals = list(s.enum)
+            for val in vals:
+                if isinstance(val, (list, dict)):
+                    raise CompileFallback("enum of array/object values")
+            if not vals:
+                add_simple(lambda v: F.lit(False), "enum", "not in enum")
+            else:
+                add_simple(lambda v, vs=vals: reduce(
+                    lambda a, b: a | b, (self._scalar_eq(v, x) for x in vs)),
+                    "enum", "not in enum")
+
+    # ---- strings ---------------------------------------------------------
+
+    def _lower_string(self, s: SchemaObject, add_simple) -> None:
+        def gated(pred_fn):
+            # string keywords apply only to string values (type-guard)
+            return lambda v: F.when(_ts(v) == "STRING", pred_fn(v)) \
+                              .otherwise(F.lit(True))
+        if s.max_length is not None:
+            n = s.max_length
+            add_simple(gated(lambda v, n=n: F.length(_sval(v)) <= n),
+                       "maxLength", f"length > {n}")
+        if s.min_length is not None:
+            n = s.min_length
+            add_simple(gated(lambda v, n=n: F.length(_sval(v)) >= n),
+                       "minLength", f"length < {n}")
+        if s.pattern is not None:
+            pat = s.pattern
+            if not java_regex_safe(pat):
+                raise CompileFallback(f"pattern not Java-safe: {pat!r}")
+            add_simple(gated(lambda v, p=pat: F.regexp_like(_sval(v), F.lit(p))),
+                       "pattern", f"no match for {pat!r}")
+
+    # ---- numerics ---------------------------------------------------------
+
+    def _lower_numeric(self, s: SchemaObject, add_simple) -> None:
+        def gated(pred_fn):
+            return lambda v: F.when(_is_num(v), pred_fn(_dval(v))) \
+                              .otherwise(F.lit(True))
+        if s.maximum is not None:
+            m = s.maximum
+            add_simple(gated(lambda d, m=m: d <= m), "maximum", f"> {m}")
+        if s.exclusive_maximum is not None:
+            m = s.exclusive_maximum
+            add_simple(gated(lambda d, m=m: d < m), "exclusiveMaximum", f">= {m}")
+        if s.minimum is not None:
+            m = s.minimum
+            add_simple(gated(lambda d, m=m: d >= m), "minimum", f"< {m}")
+        if s.exclusive_minimum is not None:
+            m = s.exclusive_minimum
+            add_simple(gated(lambda d, m=m: d > m), "exclusiveMinimum", f"<= {m}")
+        if s.multiple_of is not None:
+            m = s.multiple_of
+            if m == 0:
+                add_simple(gated(lambda d: F.lit(False)), "multipleOf", "multipleOf 0")
+            else:
+                add_simple(gated(lambda d, m=m: (d / m % 1.0) == 0.0),
+                           "multipleOf", f"not a multiple of {m}")
+
+    # ---- objects ---------------------------------------------------------
+
+    def _lower_object(self, s: SchemaObject, base_uri: str, depth: int,
+                      add, add_simple) -> None:
+        has_obj_kw = any([
+            s.required, s.properties, s.pattern_properties,
+            s.property_names is not None,
+            s.additional_properties is not None, s.max_properties is not None,
+            s.min_properties is not None, s.dependencies,
+        ])
+        if not has_obj_kw:
+            return
+
+        def is_obj(v: Column) -> Column:
+            return _ts(v).startswith("OBJECT")
+
+        def gated(pred_fn):
+            # object keywords pass on non-objects (type-guard)
+            return lambda v: F.when(is_obj(v), pred_fn(v)).otherwise(F.lit(True))
+
+        if s.required:
+            req = list(s.required)
+            # presence = non-null child (a JSON null value is a non-null
+            # VOID variant, so present-with-null still counts)
+            add_simple(gated(lambda v, r=req: reduce(
+                lambda a, b: a & b,
+                (_child(v, k).isNotNull() for k in r))),
+                "required", f"missing one of {req}")
+
+        if s.max_properties is not None:
+            m = s.max_properties
+            add_simple(gated(lambda v, m=m: F.size(_vmap(v)) <= m),
+                       "maxProperties", f"> {m}")
+        if s.min_properties is not None:
+            m = s.min_properties
+            add_simple(gated(lambda v, m=m: F.size(_vmap(v)) >= m),
+                       "minProperties", f"< {m}")
+
+        if s.properties:
+            for name, sub in s.properties:
+                low = self._lower(sub, base_uri, depth + 1)
+                tok = _ptr_token(name)
+
+                # _child is SQL NULL iff absent (or non-object) — the
+                # absent-passes guard needs no separate is_obj test
+                add(lambda v, lo=low, k=name: F.when(
+                        _child(v, k).isNull(), F.lit(True))
+                    .otherwise(F.coalesce(lo.valid(_child(v, k)), F.lit(False))),
+                    lambda v, p, lo=low, k=name, t=tok: F.when(
+                        _child(v, k).isNull(),
+                        F.array().cast(VIOLATION_SCHEMA))
+                    .otherwise(lo.violations(_child(v, k),
+                                             F.concat(p, F.lit("/" + t)))))
+
+        if s.property_names is not None:
+            pn = s.property_names
+            if isinstance(pn, bool):
+                if not pn:
+                    add_simple(gated(lambda v: F.size(_vmap(v)) == 0),
+                               "propertyNames", "no property names allowed")
+            else:
+                # names are plain strings: reuse the static compiler's
+                # StringType lowering with the SAME resolver context
+                from .compiler import ColumnarCompiler
+                cc = ColumnarCompiler.__new__(ColumnarCompiler)
+                cc.resolver = self.resolver
+                cc.root_uri = self.root_uri
+                cc._schema_json = None
+                cc._registry = None
+                cc.schema = self.schema
+                name_low = cc._lower(pn, StringType(), base_uri, depth + 1)
+                add_simple(gated(lambda v, lo=name_low: F.forall(
+                    F.map_keys(_vmap(v)),
+                    lambda k: F.coalesce(lo.valid(k), F.lit(False)))),
+                    "propertyNames", "invalid property name")
+
+        pattern_res = [p for p, _ in (s.pattern_properties or [])]
+        for pat in pattern_res:
+            if not java_regex_safe(pat):
+                raise CompileFallback(f"patternProperties regex {pat!r}")
+        if s.pattern_properties:
+            for pat, sub in s.pattern_properties:
+                low = self._lower(sub, base_uri, depth + 1)
+
+                def v_fn(v: Column, lo=low, p=pat) -> Column:
+                    matched = F.filter(
+                        F.map_entries(_vmap(v)),
+                        lambda kv: F.regexp_like(kv.getField("key"), F.lit(p)))
+                    return F.forall(matched, lambda kv: F.coalesce(
+                        lo.valid(kv.getField("value")), F.lit(False)))
+
+                add_simple(gated(v_fn), "patternProperties",
+                           f"value under pattern {pat!r} invalid")
+
+        if s.additional_properties is not None:
+            declared = [n for n, _ in (s.properties or [])]
+
+            def extra_entries(v: Column) -> Column:
+                def is_extra(kv: Column) -> Column:
+                    cond = ~kv.getField("key").isin(*declared) if declared \
+                        else F.lit(True)
+                    for p in pattern_res:
+                        cond = cond & ~F.regexp_like(kv.getField("key"), F.lit(p))
+                    return cond
+                return F.filter(F.map_entries(_vmap(v)), is_extra)
+
+            if isinstance(s.additional_properties, bool):
+                if not s.additional_properties:
+                    add_simple(gated(lambda v: F.size(extra_entries(v)) == 0),
+                               "additionalProperties", "unexpected keys")
+            else:
+                low = self._lower(s.additional_properties, base_uri, depth + 1)
+                add_simple(gated(lambda v, lo=low: F.forall(
+                    extra_entries(v),
+                    lambda kv: F.coalesce(lo.valid(kv.getField("value")),
+                                          F.lit(False)))),
+                    "additionalProperties", "additional property value invalid")
+
+        if s.dependencies:
+            for key, dep in s.dependencies:
+                if dep.required_props is not None:
+                    reqs = dep.required_props
+                    add_simple(gated(lambda v, k=key, r=reqs: F.when(
+                        F.map_contains_key(_vmap(v), k),
+                        reduce(lambda a, b: a & b,
+                               (F.map_contains_key(_vmap(v), x) for x in r))
+                        if r else F.lit(True)).otherwise(F.lit(True))),
+                        "dependencies", f"{key!r} requires {dep.required_props}")
+                if dep.schema is not None:
+                    low = self._lower(dep.schema, base_uri, depth + 1)
+
+                    def v_fn(v: Column, lo=low, k=key) -> Column:
+                        return F.when(
+                            v.isNull() | ~is_obj(v)
+                            | ~F.map_contains_key(_vmap(v), k), F.lit(True)) \
+                            .otherwise(F.coalesce(lo.valid(v), F.lit(False)))
+
+                    def viol_fn(v: Column, p: Column, lo=low, k=key) -> Column:
+                        return F.when(
+                            v.isNull() | ~is_obj(v)
+                            | ~F.map_contains_key(_vmap(v), k),
+                            F.array().cast(VIOLATION_SCHEMA)) \
+                            .otherwise(lo.violations(v, p))
+                    add(v_fn, viol_fn)
+
+    # ---- arrays ------------------------------------------------------------
+
+    def _lower_array(self, s: SchemaObject, base_uri: str, depth: int,
+                     add, add_simple) -> None:
+        has_arr_kw = any([
+            s.items is not None, s.additional_items is not None,
+            s.max_items is not None, s.min_items is not None,
+            s.unique_items, s.contains is not None,
+        ])
+        if not has_arr_kw:
+            return
+        if s.unique_items:
+            # deep equality over heterogeneous variants isn't expressible
+            # as array_distinct (variant has no defined Column equality)
+            raise CompileFallback("uniqueItems on the variant path")
+
+        def is_arr(v: Column) -> Column:
+            return _ts(v).startswith("ARRAY")
+
+        def gated(pred_fn):
+            return lambda v: F.when(is_arr(v), pred_fn(_varr(v))) \
+                              .otherwise(F.lit(True))
+
+        if s.max_items is not None:
+            m = s.max_items
+            add_simple(gated(lambda a, m=m: F.size(a) <= m), "maxItems", f"> {m}")
+        if s.min_items is not None:
+            m = s.min_items
+            add_simple(gated(lambda a, m=m: F.size(a) >= m), "minItems", f"< {m}")
+
+        if s.items is not None and not s.items.is_tuple:
+            low = self._lower(s.items.single, base_uri, depth + 1)
+            add(lambda v, lo=low: F.when(~is_arr(v), F.lit(True))
+                .otherwise(F.forall(_varr(v), lambda e: F.coalesce(
+                    lo.valid(e), F.lit(False)))),
+                lambda v, p, lo=low: F.when(~is_arr(v),
+                                            F.array().cast(VIOLATION_SCHEMA))
+                .otherwise(F.flatten(F.transform(
+                    _varr(v), lambda e, i: lo.violations(
+                        e, F.concat(p, F.lit("/"), i.cast("string")))))))
+        elif s.items is not None and s.items.is_tuple:
+            for i, sub in enumerate(s.items.tuple_items):
+                low = self._lower(sub, base_uri, depth + 1)
+                add(lambda v, lo=low, i=i: F.when(
+                        ~is_arr(v) | (F.size(_varr(v)) <= i), F.lit(True))
+                    .otherwise(F.coalesce(lo.valid(F.get(_varr(v), i)),
+                                          F.lit(False))),
+                    lambda v, p, lo=low, i=i: F.when(
+                        ~is_arr(v) | (F.size(_varr(v)) <= i),
+                        F.array().cast(VIOLATION_SCHEMA))
+                    .otherwise(lo.violations(F.get(_varr(v), i),
+                                             F.concat(p, F.lit(f"/{i}")))))
+            if s.additional_items is not None:
+                k = len(s.items.tuple_items)
+                low = self._lower(s.additional_items, base_uri, depth + 1)
+                add(lambda v, lo=low, k=k: F.when(~is_arr(v), F.lit(True))
+                    .otherwise(F.forall(
+                        F.slice(_varr(v), k + 1,
+                                F.greatest(F.size(_varr(v)) - k, F.lit(0))),
+                        lambda e: F.coalesce(lo.valid(e), F.lit(False)))),
+                    lambda v, p, lo=low, k=k: F.when(
+                        ~is_arr(v), F.array().cast(VIOLATION_SCHEMA))
+                    .otherwise(F.flatten(F.transform(
+                        F.slice(_varr(v), k + 1,
+                                F.greatest(F.size(_varr(v)) - k, F.lit(0))),
+                        lambda e, i: lo.violations(
+                            e, F.concat(p, F.lit("/"), (i + k).cast("string")))))))
+
+        if s.contains is not None:
+            low = self._lower(s.contains, base_uri, depth + 1)
+            add_simple(gated(lambda a, lo=low: (F.size(a) > 0) & F.exists(
+                a, lambda e: F.coalesce(lo.valid(e), F.lit(False)))),
+                "contains", "no element matches (or empty array)")
+
+    # ---- combinators ---------------------------------------------------------
+
+    def _lower_combinators(self, s: SchemaObject, base_uri: str, depth: int,
+                           add) -> None:
+        if s.all_of is not None:
+            for sub in s.all_of:
+                low = self._lower(sub, base_uri, depth + 1)
+                add(low.valid, low.violations)
+        if s.any_of is not None:
+            lows = [self._lower(sub, base_uri, depth + 1) for sub in s.any_of]
+
+            def v_fn(v: Column, ls=lows) -> Column:
+                if not ls:
+                    return F.lit(False)
+                return reduce(lambda a, b: a | b,
+                              (F.coalesce(lo.valid(v), F.lit(False)) for lo in ls))
+            add(v_fn, lambda v, p, vf=v_fn: F.when(
+                vf(v), F.array().cast(VIOLATION_SCHEMA))
+                .otherwise(F.array(_viol("anyOf", p, "no branch matched"))))
+        if s.one_of is not None:
+            lows = [self._lower(sub, base_uri, depth + 1) for sub in s.one_of]
+
+            def v1_fn(v: Column, ls=lows) -> Column:
+                if not ls:
+                    return F.lit(False)
+                return reduce(lambda a, b: a + b,
+                              (F.coalesce(lo.valid(v), F.lit(False)).cast("int")
+                               for lo in ls)) == 1
+            add(v1_fn, lambda v, p, vf=v1_fn: F.when(
+                vf(v), F.array().cast(VIOLATION_SCHEMA))
+                .otherwise(F.array(_viol("oneOf", p, "matched != 1 branches"))))
+        if s.not_ is not None:
+            low = self._lower(s.not_, base_uri, depth + 1)
+
+            def vn_fn(v: Column, lo=low) -> Column:
+                return ~F.coalesce(lo.valid(v), F.lit(False))
+            add(vn_fn, lambda v, p, vf=vn_fn: F.when(
+                vf(v), F.array().cast(VIOLATION_SCHEMA))
+                .otherwise(F.array(_viol("not", p, "schema matched but must not"))))
+        if s.if_ is not None:
+            if_low = self._lower(s.if_, base_uri, depth + 1)
+            then_low = self._lower(s.then_, base_uri, depth + 1) \
+                if s.then_ is not None else _LOWERED_TRUE
+            else_low = self._lower(s.else_, base_uri, depth + 1) \
+                if s.else_ is not None else _LOWERED_TRUE
+            add(lambda v: F.when(F.coalesce(if_low.valid(v), F.lit(False)),
+                                 then_low.valid(v)).otherwise(else_low.valid(v)),
+                lambda v, p: F.when(F.coalesce(if_low.valid(v), F.lit(False)),
+                                    then_low.violations(v, p))
+                .otherwise(else_low.violations(v, p)))
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level entry point
+# ---------------------------------------------------------------------------
+
+def validate_json_column_variant(df, json_col: str, schema_json: Any,
+                                 registry: Optional[dict[str, Any]] = None,
+                                 uri: str = DEFAULT_URI,
+                                 verdict_only: bool = False):
+    """Variant-path validation of a JSON string column. Adds ``valid`` (+
+    ``violations`` unless verdict_only). Contract matches the Arrow path
+    (validate_json_column): NULL input -> NULL verdict; unparseable JSON ->
+    invalid with a ``$parse`` violation. Raises CompileFallback outside the
+    variant-lowerable subset."""
+    comp = VariantCompiler(schema_json, uri=uri, registry=registry)
+    low = comp.lower()
+    raw = F.col(json_col)
+
+    # Generate barrier (measured 3x at sf0.1): projections INLINE aliased
+    # expressions at every reference — Catalyst has no common-subexpression
+    # reuse for interpreted expressions — so lowering directly over
+    # try_parse_json(raw) would re-parse the JSON at every keyword leaf.
+    # explode(array(x)) routes the parse through a Generate node whose
+    # output is a real attribute; the parse then runs exactly once per row
+    # (array always has 1 element, so no rows are added or dropped).
+    tmp = "_jsl_variant"
+    while tmp in df.columns:
+        tmp += "_"
+    base = df.select("*", F.explode(F.array(F.try_parse_json(raw))).alias(tmp))
+    v = F.col(tmp)
+
+    ok = F.coalesce(low.valid(v), F.lit(False))
+    valid = (F.when(raw.isNull(), F.lit(None).cast("boolean"))
+              .when(v.isNull(), F.lit(False))
+              .otherwise(ok))
+    if verdict_only:
+        return base.select(*df.columns, valid.alias("valid"))
+    viols = (F.when(raw.isNull(), F.lit(None).cast(VIOLATION_SCHEMA))
+              .when(v.isNull(), F.array(_viol("$parse", F.lit(""), "invalid JSON")))
+              .when(ok, F.array().cast(VIOLATION_SCHEMA))
+              .otherwise(low.violations(v, F.lit(""))))
+    return base.select(*df.columns, valid.alias("valid"),
+                       viols.alias("violations"))
