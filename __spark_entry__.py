@@ -253,18 +253,16 @@ def _q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute force at oracle scale; the
-    LSH-bucketed variant in operators/similarity.py is the 100 TB path)."""
-    from json_schema_lean_spark.operators.similarity import cosine
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH — the
+    scale path IS the oracled pipeline now (VERDICT r1): candidates come
+    from an equi-join on (band, signature), never an all-pairs cross join.
+    The DuckDB oracle replays the identical literal planes + integer
+    quantization, so bucket membership matches bit-for-bit; recall vs brute
+    force at this operating point is pinned in tests/test_operators.py."""
+    from json_schema_lean_spark.operators.similarity import lsh_near_dup_pairs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    a = emb.select(F.col("vec_id").alias("id_a"),
-                   F.col("embedding").cast("array<double>").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"),
-                   F.col("embedding").cast("array<double>").alias("vb"))
-    pairs = (a.join(b, F.col("id_a") < F.col("id_b"))
-              .select("id_a", "id_b",
-                      F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos")))
-    return pairs.where(F.col("cos") > 0.45).select("id_a", "id_b", "cos")
+    return lsh_near_dup_pairs(emb, dim=64, threshold=0.45,
+                              bands=12, planes_per_band=4)
 
 
 def _q_users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,6 +380,16 @@ _VALID_DOC_EXPR = """
     AND (source IS NULL OR regexp_matches(source, '^src[0-9]+$'))
     AND (n_chars IS NULL OR (n_chars >= 0 AND n_chars <= 400))
 """
+
+
+def _lsh_near_dup_oracle() -> str:
+    """DuckDB replica of the banded hyperplane-LSH near-dup pipeline (same
+    literal planes + integer quantization as _q_embedding_near_dups)."""
+    from json_schema_lean_spark.operators.similarity import (
+        lsh_near_dup_oracle_sql,
+    )
+    return lsh_near_dup_oracle_sql("embeddings", dim=64, threshold=0.45,
+                                   bands=12, planes_per_band=4)
 
 
 def _minhash_oracle_sql(k: int = 32, bands: int = 16) -> str:
@@ -676,15 +684,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars IS NOT NULL
             GROUP BY 1
         """,
-        "embedding_near_dups": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                                b.embedding::DOUBLE[]), 4) AS cos
-            FROM embeddings a, embeddings b
-            WHERE a.vec_id < b.vec_id
-              AND round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                               b.embedding::DOUBLE[]), 4) > 0.45
-        """,
+        "embedding_near_dups": _lsh_near_dup_oracle(),
         "users_click_and_purchase": """
             SELECT user_id FROM events WHERE event_type = 'click'
             INTERSECT

@@ -145,6 +145,144 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16,
     return out
 
 
+def lsh_plane_weights(dim: int, bands: int, planes_per_band: int,
+                      seed: int = 42) -> list[list[list[int]]]:
+    """Deterministic ±1 hyperplane weights, derived from md5 on the DRIVER —
+    plain literals on both the Spark and the DuckDB oracle side, so the two
+    pipelines share planes by construction (no runtime hash portability
+    needed, unlike the MinHash oracle)."""
+    import hashlib
+    out = []
+    for b in range(bands):
+        planes = []
+        for p in range(planes_per_band):
+            row = []
+            for i in range(dim):
+                h = hashlib.md5(f"hplsh:{seed}:{b}:{p}:{i}".encode()).hexdigest()
+                row.append(1 if int(h, 16) % 2 == 0 else -1)
+            planes.append(row)
+        out.append(planes)
+    return out
+
+
+def _quantized(vec: Column, quant: int) -> Column:
+    """floor(x * quant) as bigint: IEEE-exact and identical in Spark and
+    DuckDB (round() differs in half-up vs half-even corner cases; floor
+    doesn't), and integer dot products are summation-order-independent —
+    float sums are not, and the oracle's GROUP BY has no defined order."""
+    return F.transform(vec.cast("array<double>"),
+                       lambda x: F.floor(x * quant).cast("long"))
+
+
+def lsh_band_signatures(df: DataFrame, weights: list[list[list[int]]],
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        quant: int = 1000) -> DataFrame:
+    """(id, band, sig): one banded hyperplane signature row per (row, band).
+    sig packs planes_per_band sign bits of quantized-integer projections."""
+    q = _quantized(F.col(vec_col), quant)
+    band_sigs = []
+    for b, planes in enumerate(weights):
+        bits = []
+        for p, w in enumerate(planes):
+            w_lit = F.array(*[F.lit(x).cast("long") for x in w])
+            proj = F.aggregate(F.zip_with(q, w_lit, lambda x, y: x * y),
+                               F.lit(0).cast("long"), lambda acc, v: acc + v)
+            bits.append(F.when(proj >= 0, F.lit(1 << p).cast("long"))
+                         .otherwise(F.lit(0).cast("long")))
+        sig = reduce_add(bits)
+        band_sigs.append(F.struct(F.lit(b).cast("int").alias("band"),
+                                  sig.alias("sig")))
+    return (df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
+                      F.explode(F.array(*band_sigs)).alias("_bs"))
+              .select(F.col("_id"), F.col("_vec"),
+                      F.col("_bs.band").alias("band"),
+                      F.col("_bs.sig").alias("sig")))
+
+
+def reduce_add(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def lsh_near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.45,
+                       bands: int = 8, planes_per_band: int = 4,
+                       seed: int = 42, quant: int = 1000,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs WITHOUT the all-pairs cross join (VERDICT r1
+    'What's wrong' #1): banded random-hyperplane buckets generate candidate
+    pairs (equi-join on (band, sig) — a shuffled hash join whose cost scales
+    with bucket occupancy, not corpus²), then only candidates pay the cosine.
+    Returns (id_a, id_b, cos) with cos rounded to 4 digits, > threshold.
+
+    Candidate semantics are part of the contract (same planes => same
+    buckets in the DuckDB oracle); recall vs brute force is pinned in
+    tests/test_operators.py at the chosen (bands, planes) operating point.
+    """
+    weights = lsh_plane_weights(dim, bands, planes_per_band, seed)
+    sigs = lsh_band_signatures(corpus, weights, id_col=id_col,
+                               vec_col=vec_col, quant=quant)
+    a = sigs.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"),
+                    "band", "sig")
+    b = sigs.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"),
+                    "band", "sig")
+    cand = (a.join(b, ["band", "sig"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "_va", "_vb")
+             .dropDuplicates(["id_a", "id_b"]))
+    cos = F.round(cosine(F.col("_va").cast("array<double>"),
+                         F.col("_vb").cast("array<double>")), 4)
+    return (cand.select("id_a", "id_b", cos.alias("cos"))
+                .where(F.col("cos") > threshold))
+
+
+def lsh_near_dup_oracle_sql(table: str, dim: int, threshold: float = 0.45,
+                            bands: int = 8, planes_per_band: int = 4,
+                            seed: int = 42, quant: int = 1000,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> str:
+    """ANSI-SQL (DuckDB) replica of lsh_near_dup_pairs: identical literal
+    planes, identical integer quantization, so bucket membership matches the
+    Spark pipeline bit-for-bit; only the final cosine is float (rounded to 4
+    digits on both sides, the already-proven embedding oracle technique)."""
+    weights = lsh_plane_weights(dim, bands, planes_per_band, seed)
+    rows = []
+    for b, planes in enumerate(weights):
+        for p, w in enumerate(planes):
+            for i, x in enumerate(w):
+                rows.append(f"({b},{p},{i},{x})")
+    values = ",".join(rows)
+    return f"""
+        WITH wt(band, plane, dim, w) AS (VALUES {values}),
+        proj AS (
+            SELECT e.{id_col} AS vid, wt.band, wt.plane,
+                   sum(CAST(floor(CAST(e.{vec_col}[wt.dim + 1] AS DOUBLE)
+                                  * {quant}) AS BIGINT) * wt.w) AS s
+            FROM {table} e, wt
+            GROUP BY 1, 2, 3),
+        sig AS (
+            SELECT vid, band,
+                   sum(CASE WHEN s >= 0 THEN (1::BIGINT << plane)
+                            ELSE 0 END)::BIGINT AS sig
+            FROM proj GROUP BY 1, 2),
+        cand AS (
+            SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+            FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+                                 AND a.vid < b.vid)
+        SELECT c.id_a, c.id_b,
+               round(list_cosine_similarity(ea.{vec_col}::DOUBLE[],
+                                            eb.{vec_col}::DOUBLE[]), 4) AS cos
+        FROM cand c
+        JOIN {table} ea ON ea.{id_col} = c.id_a
+        JOIN {table} eb ON eb.{id_col} = c.id_b
+        WHERE round(list_cosine_similarity(ea.{vec_col}::DOUBLE[],
+                                           eb.{vec_col}::DOUBLE[]), 4)
+              > {threshold}
+    """
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
              n_planes: int = 12, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
