@@ -315,9 +315,10 @@ def _q_suite_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from json_schema_lean_spark.operators.validation import suite_validator_udf
 
-    suite_dir = Path(__file__).resolve().parent / "fixtures" / "suite"
+    fixtures = Path(__file__).resolve().parent / "fixtures"
+    suite_dirs = [fixtures / "suite", fixtures / "suite_official" / "draft7"]
     rows = []
-    for fp in sorted(suite_dir.glob("*.json")):
+    for fp in sorted(p for d in suite_dirs for p in d.glob("*.json")):
         for ci, case in enumerate(_json.loads(fp.read_text())):
             for ti, test in enumerate(case["tests"]):
                 rows.append((f"{fp.stem}/{ci}/{ti}",

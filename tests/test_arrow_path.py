@@ -15,12 +15,13 @@ from json_schema_lean_spark.operators.validation import (
     validate_json_column,
 )
 
-SUITE_DIR = Path(__file__).resolve().parent.parent / "fixtures" / "suite"
+FIXTURES = Path(__file__).resolve().parent.parent / "fixtures"
+SUITE_DIRS = [FIXTURES / "suite", FIXTURES / "suite_official" / "draft7"]
 
 
 def load_suite_rows():
     rows = []
-    for f in sorted(SUITE_DIR.glob("*.json")):
+    for f in sorted(p for d in SUITE_DIRS for p in d.glob("*.json")):
         for ci, case in enumerate(json.loads(f.read_text())):
             for ti, test in enumerate(case["tests"]):
                 rows.append((

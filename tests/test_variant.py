@@ -20,13 +20,14 @@ from json_schema_lean_spark.variant import (
     validate_json_column_variant,
 )
 
-SUITE_DIR = Path(__file__).resolve().parent.parent / "fixtures" / "suite"
+FIXTURES = Path(__file__).resolve().parent.parent / "fixtures"
+SUITE_DIRS = [FIXTURES / "suite", FIXTURES / "suite_official" / "draft7"]
 
 
 def load_cases():
     """[(case_id, schema_json, [(instance_json, expected_valid)...])]"""
     out = []
-    for f in sorted(SUITE_DIR.glob("*.json")):
+    for f in sorted(p for d in SUITE_DIRS for p in d.glob("*.json")):
         for ci, case in enumerate(json.loads(f.read_text())):
             out.append((f"{f.stem}/{ci}", case["schema"],
                         [(json.dumps(t["data"]), t["valid"])
