@@ -123,18 +123,13 @@ def _cond_viol(col: Column, ok: Column, keyword: str, ptr: Column, msg: str) -> 
 
 
 def java_regex_safe(pattern: str) -> bool:
-    """Conservative regex-dialect classifier (SURVEY.md §4 item 2): patterns
-    with Python-only syntax route to the Arrow fallback instead of
-    ``regexp_like``; everything else is Java-compatible for the subset our
-    schemas use."""
-    try:
-        re.compile(pattern)
-    except re.error:
-        return False
-    # Python-specific syntax that Java regex handles differently
-    if "(?P" in pattern or "(?#" in pattern:
-        return False
-    return True
+    """Regex-dialect classifier (SURVEY.md §4 item 2; hardened in r2): True
+    iff the pattern transpiles to an EXACTLY-equivalent Java pattern
+    (regex_dialect.to_java_regex) — callers must run the transpiled form
+    through ``regexp_like``, never the original. Everything else routes to
+    the Arrow interpreter, which is Python re by construction."""
+    from .regex_dialect import java_regex_exact
+    return java_regex_exact(pattern)
 
 
 class ColumnarCompiler:
@@ -350,10 +345,12 @@ class ColumnarCompiler:
             n = s.min_length
             add_simple(lambda c, n=n: F.length(c) >= n, "minLength", f"length < {n}")
         if s.pattern is not None:
+            from .regex_dialect import to_java_regex
             pat = s.pattern
-            if not java_regex_safe(pat):
+            jpat = to_java_regex(pat)
+            if jpat is None:
                 raise CompileFallback(f"pattern not Java-safe: {pat!r}")
-            add_simple(lambda c, p=pat: F.regexp_like(c, F.lit(p)),
+            add_simple(lambda c, p=jpat: F.regexp_like(c, F.lit(p)),
                        "pattern", f"no match for {pat!r}")
 
     # ---- numerics -----------------------------------------------------------
@@ -597,15 +594,18 @@ class ColumnarCompiler:
                     F.map_keys(c), lambda k: F.coalesce(lo.valid(k), F.lit(False))),
                 "propertyNames", "invalid property name")
 
-        pattern_res = [p for p, _ in (s.pattern_properties or [])]
-        for pat in pattern_res:
-            if not java_regex_safe(pat):
+        from .regex_dialect import to_java_regex
+        pattern_res = []
+        for pat, _ in (s.pattern_properties or []):
+            jpat = to_java_regex(pat)
+            if jpat is None:
                 raise CompileFallback(f"patternProperties regex {pat!r}")
+            pattern_res.append(jpat)
         if s.pattern_properties:
-            for pat, sub in s.pattern_properties:
+            for (pat, sub), jpat in zip(s.pattern_properties, pattern_res):
                 low = self._lower(sub, val_t, base_uri, depth + 1)
 
-                def v_fn(c: Column, lo=low, p=pat) -> Column:
+                def v_fn(c: Column, lo=low, p=jpat) -> Column:
                     matched = F.filter(
                         F.map_entries(c),
                         lambda kv: F.regexp_like(kv.getField("key"), F.lit(p)))

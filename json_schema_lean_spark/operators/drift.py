@@ -23,21 +23,34 @@ from pyspark.sql import functions as F
 # histogram aggregation (columnar, one pass)
 # ---------------------------------------------------------------------------
 
+def histograms(df: DataFrame,
+               specs: list[tuple[str, float, float, int]]) -> dict[str, list[int]]:
+    """Fixed-edge histogram counts for ALL watched columns in ONE
+    aggregation pass (VERDICT r1 #7: the per-column variant cost one full
+    scan per column — at 100 TB watching 20 columns that's 20 extra scans).
+
+    Each (col, lo, hi, nbins) spec contributes nbins conditional-count
+    aggregates; all of them ride a single map-side-combinable agg over one
+    scan. Values outside [lo, hi) clamp into the edge bins so new outliers
+    register as edge mass; NULLs count nowhere."""
+    aggs = []
+    for c, lo, hi, nbins in specs:
+        width = (hi - lo) / nbins
+        bucket = F.least(
+            F.greatest(F.floor((F.col(c).cast("double") - lo) / width), F.lit(0)),
+            F.lit(nbins - 1)).cast("int")
+        bucket = F.when(F.col(c).isNotNull(), bucket)
+        for i in range(nbins):
+            aggs.append(F.sum(F.when(bucket == i, 1).otherwise(0))
+                         .alias(f"{c}__h{i}"))
+    row = df.agg(*aggs).collect()[0]
+    return {c: [int(row[f"{c}__h{i}"] or 0) for i in range(nbins)]
+            for c, lo, hi, nbins in specs}
+
+
 def histogram(df: DataFrame, col: str, lo: float, hi: float, nbins: int = 32) -> list[int]:
-    """Fixed-edge histogram counts (single agg pass, returns nbins ints).
-    Values outside [lo, hi) clamp into the edge bins (standard drift-check
-    behavior so new outliers register as edge mass)."""
-    width = (hi - lo) / nbins
-    bucket = F.least(
-        F.greatest(F.floor((F.col(col).cast("double") - lo) / width), F.lit(0)),
-        F.lit(nbins - 1)).cast("int")
-    counts = (df.where(F.col(col).isNotNull())
-                .groupBy(bucket.alias("b")).agg(F.count(F.lit(1)).alias("n"))
-                .collect())
-    out = [0] * nbins
-    for r in counts:
-        out[r["b"]] = r["n"]
-    return out
+    """Single-column convenience wrapper over :func:`histograms`."""
+    return histograms(df, [(col, lo, hi, nbins)])[col]
 
 
 def baseline_stats(df: DataFrame, cols: list[str], run_id: str,
@@ -51,17 +64,25 @@ def baseline_stats(df: DataFrame, cols: list[str], run_id: str,
                  F.min(F.col(c).cast("double")).alias(f"{c}__min"),
                  F.max(F.col(c).cast("double")).alias(f"{c}__max")]
     row = df.agg(*aggs).collect()[0]
-    out = []
+    ranges = {}
     for c in cols:
         lo, hi = row[f"{c}__min"], row[f"{c}__max"]
         if lo is None or hi is None or lo == hi:
             lo, hi = (lo or 0.0), (lo or 0.0) + 1.0
+        ranges[c] = (lo, hi)
+    # one pass for every column's histogram (2 scans total for N columns:
+    # min/max above + counts here)
+    hists = histograms(df, [(c, ranges[c][0], ranges[c][1], nbins)
+                            for c in cols])
+    out = []
+    for c in cols:
+        lo, hi = ranges[c]
         edges = [lo + (hi - lo) * i / nbins for i in range(nbins + 1)]
         out.append({
             "run_id": run_id, "column": c,
             "count": row[f"{c}__count"], "mean": row[f"{c}__mean"],
             "min": lo, "max": hi,
-            "hist_bins": edges, "hist_counts": histogram(df, c, lo, hi, nbins),
+            "hist_bins": edges, "hist_counts": hists[c],
         })
     return out
 
@@ -199,12 +220,15 @@ def drift_report(current: DataFrame, baseline_rows: list[dict],
                  alpha: float = 0.01) -> list[dict]:
     """Compare the current table against baseline rows (from baseline_stats).
     Returns one dict per column with KS + chi-square verdicts."""
+    specs = []
+    for base in baseline_rows:
+        edges = base["hist_bins"]
+        specs.append((base["column"], edges[0], edges[-1], len(edges) - 1))
+    cur_hists = histograms(current, specs)  # ONE scan for all columns
     out = []
     for base in baseline_rows:
         c = base["column"]
-        edges = base["hist_bins"]
-        lo, hi, nbins = edges[0], edges[-1], len(edges) - 1
-        cur_hist = histogram(current, c, lo, hi, nbins)
+        cur_hist = cur_hists[c]
         ks = ks_from_histograms(cur_hist, base["hist_counts"])
         chi, dof = chi_square_from_histograms(cur_hist, base["hist_counts"])
         pval = chi_square_pvalue(chi, dof)

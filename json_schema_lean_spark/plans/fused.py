@@ -160,6 +160,25 @@ def fused_items_verdict(comp: ColumnarCompiler, items_schema: Schema,
     return reduce(lambda a, b: a & b, clauses)
 
 
+def _fused_joined_length_clause(compact: Column, bad_re: str, slow) -> Column:
+    """Per-element string-length check without lambda HOFs on the hot path:
+    newline-join the elements and regex-search for a too-short/too-long line
+    (wrapped in sentinel newlines). Java regex quantifiers count code points,
+    matching F.length and the interpreter's len(). Rows where an element
+    embeds a newline take the lazily-evaluated per-element HOF branch (same
+    guard as the fused pattern clause)."""
+    joined = F.array_join(compact, "\n")
+    n_elems = F.size(compact)
+    n_lines = F.when(n_elems == 0, F.lit(0)) \
+               .otherwise(F.size(F.split(joined, "\n")))
+    fast_ok = ~F.regexp_like(F.concat(F.lit("\n"), joined, F.lit("\n")),
+                             F.lit(bad_re))
+    slow_ok = F.forall(compact, lambda e: slow(e))
+    return (F.when(n_elems == 0, F.lit(True))
+             .when(n_lines == n_elems, fast_ok)
+             .otherwise(slow_ok))
+
+
 def _fused_property_clauses(s: SchemaObject, field_arr: Column,
                             dtype: Any) -> list[Column]:
     """Per-field keyword clauses over the extracted field array (nulls =
@@ -176,7 +195,6 @@ def _fused_property_clauses(s: SchemaObject, field_arr: Column,
 
     unsupported = [
         s.const is not ABSENT, s.multiple_of is not None,
-        s.max_length is not None,
         s.unique_items, s.properties is not None, s.items is not None,
         s.pattern_properties is not None, s.additional_properties is not None,
         s.dependencies is not None, s.all_of is not None, s.any_of is not None,
@@ -227,7 +245,24 @@ def _fused_property_clauses(s: SchemaObject, field_arr: Column,
         elif s.min_length == 1:
             out.append(~F.array_contains(compact, ""))
         else:
-            raise FusedUnsupported("minLength > 1 not fusable")
+            # join trick (r2 widening): a line of <= n-1 code points means
+            # some element is too short. Java regex counts code points like
+            # F.length and the interpreter's len(), so astral-plane strings
+            # agree across strategies (pinned in tests).
+            out.append(_fused_joined_length_clause(
+                compact,
+                bad_re="\n[^\n]{0,%d}\n" % (s.min_length - 1),
+                slow=lambda e, n=s.min_length: F.length(e) >= n))
+    if s.max_length is not None and isinstance(dtype, StringType):
+        if s.max_length == 0:
+            # every element must be the empty string (pure array algebra)
+            out.append(F.size(F.array_except(compact, F.array(F.lit("")))) == 0)
+        else:
+            # a line of >= m+1 code points means some element is too long
+            out.append(_fused_joined_length_clause(
+                compact,
+                bad_re="\n[^\n]{%d}" % (s.max_length + 1),
+                slow=lambda e, m=s.max_length: F.length(e) <= m))
     if s.pattern is not None and isinstance(dtype, StringType):
         if not _PREFIX_LITERAL.match(s.pattern):
             raise FusedUnsupported(f"pattern {s.pattern!r} not fusable")

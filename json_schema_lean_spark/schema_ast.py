@@ -288,3 +288,102 @@ def _parse_dependencies(j: dict) -> Optional[list[tuple[str, Dependency]]]:
 def compile_schema(j: Any) -> Schema:
     """Public alias (parity: JsonSchema/Compiler.lean:9 ``compile``)."""
     return parse_schema(j)
+
+
+def schema_to_json(s: Schema) -> Any:
+    """Inverse serializer: compiled AST -> plain JSON value (parity:
+    ``schemaToJson``, /root/reference/JsonSchema/Schema.lean:128-188 — the
+    reference's debugging surface for compiled schemas).
+
+    Mirrors the reference's emission rules: single-element ``type`` arrays
+    collapse to a string, ``uniqueItems`` only when true, absent keywords
+    omitted. The reference assembles its object via a key-sorted TreeMap;
+    here keys are emitted in the reference's append order and dicts compare
+    by value, so round-trip equality (parse -> serialize -> parse yields an
+    equal AST) is the pinned contract (tests/test_interpreter.py)."""
+    if isinstance(s, bool):
+        return s
+    assert isinstance(s, SchemaObject)
+    out: dict[str, Any] = {}
+    if s.id is not None:
+        out["$id"] = s.id
+    if s.ref is not None:
+        out["$ref"] = s.ref
+    if s.types != ["any"]:
+        out["type"] = s.types[0] if len(s.types) == 1 else list(s.types)
+    if s.const is not ABSENT:
+        out["const"] = s.const
+    if s.enum is not None:
+        out["enum"] = list(s.enum)
+    if s.max_length is not None:
+        out["maxLength"] = s.max_length
+    if s.min_length is not None:
+        out["minLength"] = s.min_length
+    if s.pattern is not None:
+        out["pattern"] = s.pattern
+    if s.maximum is not None:
+        out["maximum"] = s.maximum
+    if s.minimum is not None:
+        out["minimum"] = s.minimum
+    if s.exclusive_maximum is not None:
+        out["exclusiveMaximum"] = s.exclusive_maximum
+    if s.exclusive_minimum is not None:
+        out["exclusiveMinimum"] = s.exclusive_minimum
+    if s.multiple_of is not None:
+        out["multipleOf"] = s.multiple_of
+    if s.unique_items:
+        out["uniqueItems"] = True
+    if s.required is not None:
+        out["required"] = list(s.required)
+    if s.properties is not None:
+        out["properties"] = {k: schema_to_json(v) for k, v in s.properties}
+    if s.pattern_properties is not None:
+        out["patternProperties"] = {k: schema_to_json(v)
+                                    for k, v in s.pattern_properties}
+    if s.property_names is not None:
+        out["propertyNames"] = schema_to_json(s.property_names)
+    if s.additional_properties is not None:
+        out["additionalProperties"] = schema_to_json(s.additional_properties)
+    if s.max_properties is not None:
+        out["maxProperties"] = s.max_properties
+    if s.min_properties is not None:
+        out["minProperties"] = s.min_properties
+    if s.dependencies is not None:
+        deps: dict[str, Any] = {}
+        for k, dep in s.dependencies:
+            if dep.required_props is not None:
+                deps[k] = list(dep.required_props)
+            else:
+                deps[k] = schema_to_json(dep.schema)
+        out["dependencies"] = deps
+    if s.items is not None:
+        if s.items.is_tuple:
+            out["items"] = [schema_to_json(x) for x in s.items.tuple_items]
+        else:
+            out["items"] = schema_to_json(s.items.single)
+    if s.additional_items is not None:
+        out["additionalItems"] = schema_to_json(s.additional_items)
+    if s.max_items is not None:
+        out["maxItems"] = s.max_items
+    if s.min_items is not None:
+        out["minItems"] = s.min_items
+    if s.contains is not None:
+        out["contains"] = schema_to_json(s.contains)
+    if s.all_of is not None:
+        out["allOf"] = [schema_to_json(x) for x in s.all_of]
+    if s.any_of is not None:
+        out["anyOf"] = [schema_to_json(x) for x in s.any_of]
+    if s.one_of is not None:
+        out["oneOf"] = [schema_to_json(x) for x in s.one_of]
+    if s.not_ is not None:
+        out["not"] = schema_to_json(s.not_)
+    if s.if_ is not None:
+        out["if"] = schema_to_json(s.if_)
+    if s.then_ is not None:
+        out["then"] = schema_to_json(s.then_)
+    if s.else_ is not None:
+        out["else"] = schema_to_json(s.else_)
+    if s.definitions is not None:
+        out["definitions"] = {k: schema_to_json(v)
+                              for k, v in s.definitions.items()}
+    return out

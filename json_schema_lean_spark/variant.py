@@ -305,10 +305,12 @@ class VariantCompiler:
             add_simple(gated(lambda v, n=n: F.length(_sval(v)) >= n),
                        "minLength", f"length < {n}")
         if s.pattern is not None:
+            from .regex_dialect import to_java_regex
             pat = s.pattern
-            if not java_regex_safe(pat):
+            jpat = to_java_regex(pat)
+            if jpat is None:
                 raise CompileFallback(f"pattern not Java-safe: {pat!r}")
-            add_simple(gated(lambda v, p=pat: F.regexp_like(_sval(v), F.lit(p))),
+            add_simple(gated(lambda v, p=jpat: F.regexp_like(_sval(v), F.lit(p))),
                        "pattern", f"no match for {pat!r}")
 
     # ---- numerics ---------------------------------------------------------
@@ -413,15 +415,18 @@ class VariantCompiler:
                     lambda k: F.coalesce(lo.valid(k), F.lit(False)))),
                     "propertyNames", "invalid property name")
 
-        pattern_res = [p for p, _ in (s.pattern_properties or [])]
-        for pat in pattern_res:
-            if not java_regex_safe(pat):
+        from .regex_dialect import to_java_regex
+        pattern_res = []
+        for pat, _ in (s.pattern_properties or []):
+            jpat = to_java_regex(pat)
+            if jpat is None:
                 raise CompileFallback(f"patternProperties regex {pat!r}")
+            pattern_res.append(jpat)
         if s.pattern_properties:
-            for pat, sub in s.pattern_properties:
+            for (pat, sub), jpat in zip(s.pattern_properties, pattern_res):
                 low = self._lower(sub, base_uri, depth + 1)
 
-                def v_fn(v: Column, lo=low, p=pat) -> Column:
+                def v_fn(v: Column, lo=low, p=jpat) -> Column:
                     matched = F.filter(
                         F.map_entries(_vmap(v)),
                         lambda kv: F.regexp_like(kv.getField("key"), F.lit(p)))

@@ -24,7 +24,8 @@ def span_prop():
     return st.one_of(
         st.builds(lambda v: {"enum": v}, st.lists(
             st.sampled_from(["text","image","audio","video","x"]), min_size=1, max_size=3)),
-        st.builds(lambda n: {"minLength": n}, st.integers(0, 1)),
+        st.builds(lambda n: {"minLength": n}, st.integers(0, 3)),
+        st.builds(lambda n: {"maxLength": n}, st.integers(0, 4)),
         st.just({"pattern": "^asset://"}),
         # dotted pattern: '.' is a metachar — must NOT be fused literally
         st.just({"pattern": "^foo.bar"}),
@@ -55,7 +56,8 @@ def spans_gen():
     span = st.one_of(st.none(), st.fixed_dictionaries({
         "kind": st.one_of(st.none(), st.sampled_from(["text","image","video"])),
         "text": st.one_of(st.none(), st.sampled_from(
-            ["", "a", "asset://x", "hello", "fooXbar", "foo.bar", "foobar"])),
+            ["", "a", "ab", "asset://x", "hello", "fooXbar", "foo.bar",
+             "foobar", "a\nb", "\U0001F4A9"])),
         "media_ref": st.one_of(st.none(), st.sampled_from(["asset://b/1", "http://x"])),
         "offset": st.one_of(st.none(), st.integers(-2, 3)),
     }))

@@ -264,3 +264,17 @@ def test_real_decoder_stubbed(media):
         audio_features(media, decoder="real").collect()
     with pytest.raises(NotImplementedError):
         sample_frames(media, decoder="real").collect()
+
+
+def test_multi_column_histograms_single_pass_equivalence(spark):
+    """r2: histograms() folds all watched columns into one agg; results must
+    equal the per-column path bin-for-bin."""
+    from json_schema_lean_spark.operators.drift import histogram, histograms
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").limit(2000)
+    specs = [("l_quantity", 0.0, 50.0, 16), ("l_discount", 0.0, 0.1, 8),
+             ("l_tax", 0.0, 0.08, 8)]
+    combined = histograms(li, specs)
+    for c, lo, hi, nbins in specs:
+        assert combined[c] == histogram(li, c, lo, hi, nbins)
+        assert len(combined[c]) == nbins

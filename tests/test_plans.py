@@ -78,3 +78,70 @@ def test_explode_plan_partial_aggregation(spark, spans_path):
     out = validate_documents_exploded(spans, SPAN_SCHEMA)
     plan = explain_str(out, "simple")
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_fused_length_widening_matches_interpreter(spark):
+    """r2 widening: minLength>1 / maxLength fuse via the newline-join regex
+    trick. Pin verdict equality with the interpreter across the tricky
+    inputs: astral-plane code points, embedded newlines (slow branch),
+    empty strings, nulls/absent."""
+    from json_schema_lean_spark.interpreter import CompiledValidator
+    from json_schema_lean_spark.plans.fused import validate_documents_fused
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "doc_id": {"type": "string"},
+            "spans": {"type": "array", "items": {
+                "type": ["object", "null"],
+                "properties": {"text": {"minLength": 2, "maxLength": 4}},
+            }},
+        },
+    }
+    rows = [
+        ("ok", [("t", "ab", None, 0), ("t", "abcd", None, 1)]),
+        ("short", [("t", "a", None, 0)]),
+        ("long", [("t", "abcde", None, 0)]),
+        ("empty", [("t", "", None, 0)]),
+        ("astral2", [("t", "\U0001F4A9\U0001F4A9", None, 0)]),   # 2 cps: ok
+        ("astral1", [("t", "\U0001F4A9", None, 0)]),             # 1 cp: short
+        ("astral5", [("t", "\U0001F4A9" * 5, None, 0)]),         # 5 cps: long
+        ("newline_ok", [("t", "a\nb", None, 0)]),                # 3 cps, slow branch
+        ("newline_long", [("t", "ab\ncd", None, 0)]),            # 5 cps, slow branch
+        ("absent", [("t", None, None, 0)]),
+        ("nullspan", [None]),
+        ("mixed", [("t", "ab", None, 0), ("t", "a", None, 1)]),
+    ]
+    ddl = ("doc_id string, spans array<struct<kind:string,text:string,"
+           "media_ref:string,offset:int>>")
+    df = spark.createDataFrame(rows, ddl)
+    out = validate_documents_fused(df, schema, keep_cols=["doc_id"],
+                                   with_violations=False)
+    got = {r["doc_id"]: r["valid"] for r in out.collect()}
+    ref = CompiledValidator(schema)
+    for doc_id, spans in rows:
+        doc = {"doc_id": doc_id, "spans": [
+            None if s is None else
+            {k: v for k, v in zip(("kind", "text", "media_ref", "offset"), s)
+             if v is not None}
+            for s in spans]}
+        assert got[doc_id] == ref.is_valid(doc), (doc_id, got[doc_id])
+
+
+def test_fused_maxlength_zero(spark):
+    from json_schema_lean_spark.plans.fused import validate_documents_fused
+
+    schema = {"type": "object", "properties": {
+        "doc_id": {"type": "string"},
+        "spans": {"type": "array", "items": {
+            "type": "object", "properties": {"text": {"maxLength": 0}}}}}}
+    ddl = ("doc_id string, spans array<struct<kind:string,text:string,"
+           "media_ref:string,offset:int>>")
+    df = spark.createDataFrame(
+        [("a", [("t", "", None, 0)]), ("b", [("t", "x", None, 0)]),
+         ("c", [("t", None, None, 0)])], ddl)
+    got = {r["doc_id"]: r["valid"]
+           for r in validate_documents_fused(
+               df, schema, keep_cols=["doc_id"],
+               with_violations=False).collect()}
+    assert got == {"a": True, "b": False, "c": True}
