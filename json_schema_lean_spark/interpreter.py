@@ -116,7 +116,12 @@ class CompiledValidator:
         uri: str = DEFAULT_URI,
         registry: Optional[dict[str, Any]] = None,
         fuel: int = DEFAULT_FUEL,
+        message_style: str = "structured",
     ) -> None:
+        #: "structured" (default, human-oriented) or "reference" —
+        #: byte-format of the Lean reportError strings (lean_messages.py;
+        #: goldens from JsonSchemaTesting/Examples.lean pinned in tests)
+        self.message_style = message_style
         self.schema: Schema = parse_schema(schema_json)
         self.root_uri = uri
         self.fuel = fuel
@@ -166,6 +171,17 @@ class CompiledValidator:
 
     # -- core recursion ---------------------------------------------------------
 
+    def _branch_errors(self, subs, value: Any, base_uri: str,
+                       fuel: int) -> list[list[str]]:
+        """Per-branch error-message arrays for the reference's anyOf/oneOf
+        strings (Validation.lean:224,236)."""
+        out = []
+        for sub in subs:
+            sink: list[Violation] = []
+            self._validate(sub, value, base_uri, fuel, [], sink, True)
+            out.append([v.message for v in sink])
+        return out
+
     def _passes(self, schema: Schema, value: Any, base_uri: str, fuel: int) -> bool:
         """Trial validation for combinators (errors not emitted)."""
         sink: list[Violation] = []
@@ -183,7 +199,13 @@ class CompiledValidator:
         collect_all: bool,
     ) -> None:
         if fuel <= 0:
-            out.append(Violation("$recursion", pointer_to_string(path), "Stack overflow"))
+            msg = "Stack overflow"
+            if self.message_style == "reference":
+                from .lean_messages import reference_message
+                from .schema_ast import schema_to_json
+                msg = reference_message("$recursion", value,
+                                        schema=schema_to_json(schema))
+            out.append(Violation("$recursion", pointer_to_string(path), msg))
             return
         fuel -= 1
         if isinstance(schema, bool):
@@ -195,7 +217,10 @@ class CompiledValidator:
         s = schema
         ptr = pointer_to_string(path)
 
-        def err(keyword: str, msg: str) -> bool:
+        def err(keyword: str, msg: str, **ctx: Any) -> bool:
+            if self.message_style == "reference":
+                from .lean_messages import reference_message
+                msg = reference_message(keyword, value, **ctx)
             out.append(Violation(keyword, ptr, msg))
             return not collect_all  # True => stop the chain
 
@@ -205,7 +230,7 @@ class CompiledValidator:
             root, subpath = self.resolver.resolve_path(target)
             got = self.resolver.get_schema_and_uri(root, subpath)
             if got is None:
-                err("$ref", f"Could not find {target!r}")
+                err("$ref", f"Could not find {target!r}", base=root, path=subpath)
                 return
             subschema, new_uri = got
             self._validate(subschema, value, new_uri, fuel, path, out, collect_all)
@@ -216,16 +241,18 @@ class CompiledValidator:
 
         # ---- keyword chain in the reference's order (Validation.lean:387-424)
         if not any(check_type(t, value) for t in s.types):
-            if err("type", f"expected one of {s.types}"):
+            if err("type", f"expected one of {s.types}", types=list(s.types)):
                 return
         if s.const is not ABSENT and not json_eq(s.const, value):
-            if err("const", f"expected {s.const!r}"):
+            if err("const", f"expected {s.const!r}", const=s.const):
                 return
         if s.max_length is not None and isinstance(value, str) and len(value) > s.max_length:
-            if err("maxLength", f"length {len(value)} > {s.max_length}"):
+            if err("maxLength", f"length {len(value)} > {s.max_length}",
+                   limit=s.max_length):
                 return
         if s.min_length is not None and isinstance(value, str) and len(value) < s.min_length:
-            if err("minLength", f"length {len(value)} < {s.min_length}"):
+            if err("minLength", f"length {len(value)} < {s.min_length}",
+                   limit=s.min_length):
                 return
         if s.pattern is not None and isinstance(value, str):
             rx = self._regex(s.pattern)
@@ -233,42 +260,52 @@ class CompiledValidator:
                 if err("pattern", f"invalid regex {s.pattern!r}"):
                     return
             elif rx.search(value) is None:
-                if err("pattern", f"no match for {s.pattern!r}"):
+                if err("pattern", f"no match for {s.pattern!r}",
+                       pattern=s.pattern):
                     return
         if is_number(value):
             x = float(value)
             if s.maximum is not None and not (x <= s.maximum):
-                if err("maximum", f"{x} > {s.maximum}"):
+                if err("maximum", f"{x} > {s.maximum}", limit=s.maximum):
                     return
             if s.exclusive_maximum is not None and not (x < s.exclusive_maximum):
-                if err("exclusiveMaximum", f"{x} >= {s.exclusive_maximum}"):
+                if err("exclusiveMaximum", f"{x} >= {s.exclusive_maximum}",
+                       limit=s.exclusive_maximum):
                     return
             if s.minimum is not None and not (x >= s.minimum):
-                if err("minimum", f"{x} < {s.minimum}"):
+                if err("minimum", f"{x} < {s.minimum}", limit=s.minimum):
                     return
             if s.exclusive_minimum is not None and not (x > s.exclusive_minimum):
-                if err("exclusiveMinimum", f"{x} <= {s.exclusive_minimum}"):
+                if err("exclusiveMinimum", f"{x} <= {s.exclusive_minimum}",
+                       limit=s.exclusive_minimum):
                     return
             if s.multiple_of is not None:
                 # reference semantics: (n / m) must be a finite integer float
                 q = x / s.multiple_of if s.multiple_of != 0 else math.inf
                 if not (math.isfinite(q) and q == round(q)):
-                    if err("multipleOf", f"{x} is not a multiple of {s.multiple_of}"):
+                    if err("multipleOf",
+                           f"{x} is not a multiple of {s.multiple_of}",
+                           limit=s.multiple_of):
                         return
         if s.enum is not None and not any(json_eq(e, value) for e in s.enum):
-            if err("enum", f"not in enum"):
+            if err("enum", f"not in enum", enum=list(s.enum)):
                 return
         if isinstance(value, dict):
             if s.required is not None:
                 missing = [k for k in s.required if k not in value]
                 if missing:
-                    if err("required", f"missing {missing}"):
+                    # reference prints the FULL required array, not the
+                    # missing subset (Validation.lean:147 golden)
+                    if err("required", f"missing {missing}",
+                           required=list(s.required)):
                         return
             if s.max_properties is not None and len(value) > s.max_properties:
-                if err("maxProperties", f"{len(value)} > {s.max_properties}"):
+                if err("maxProperties", f"{len(value)} > {s.max_properties}",
+                       limit=s.max_properties):
                     return
             if s.min_properties is not None and len(value) < s.min_properties:
-                if err("minProperties", f"{len(value)} < {s.min_properties}"):
+                if err("minProperties", f"{len(value)} < {s.min_properties}",
+                       limit=s.min_properties):
                     return
         if s.unique_items and isinstance(value, list):
             dup = _first_duplicate(value)
@@ -286,7 +323,8 @@ class CompiledValidator:
         if s.property_names is not None and isinstance(value, dict):
             for name in value:
                 if not self._passes(s.property_names, name, base_uri, fuel):
-                    if err("propertyNames", f"property name {name!r} invalid"):
+                    if err("propertyNames", f"property name {name!r} invalid",
+                           name=name):
                         return
         # patternProperties (collect matched keys) then additionalProperties
         matched_keys: set[str] = set()
@@ -328,7 +366,8 @@ class CompiledValidator:
                 if dep.required_props is not None:
                     missing = [r for r in dep.required_props if r not in value]
                     if missing:
-                        if err("dependencies", f"{key!r} requires {missing}"):
+                        if err("dependencies", f"{key!r} requires {missing}",
+                               key=key, req=missing[0]):
                             return
                 if dep.schema is not None:
                     before = len(out)
@@ -361,17 +400,19 @@ class CompiledValidator:
                         return
         if isinstance(value, list):
             if s.max_items is not None and len(value) > s.max_items:
-                if err("maxItems", f"{len(value)} > {s.max_items}"):
+                if err("maxItems", f"{len(value)} > {s.max_items}",
+                       limit=s.max_items):
                     return
             if s.min_items is not None and len(value) < s.min_items:
-                if err("minItems", f"{len(value)} < {s.min_items}"):
+                if err("minItems", f"{len(value)} < {s.min_items}",
+                       limit=s.min_items):
                     return
             if s.contains is not None:
                 if not value:
-                    if err("contains", "array is empty"):
+                    if err("contains", "array is empty", empty=True):
                         return
                 elif not any(self._passes(s.contains, e, base_uri, fuel) for e in value):
-                    if err("contains", "no element matches"):
+                    if err("contains", "no element matches", empty=False):
                         return
         if s.all_of is not None:
             for i, sub in enumerate(s.all_of):
@@ -381,12 +422,17 @@ class CompiledValidator:
                     return
         if s.any_of is not None:
             if not any(self._passes(sub, value, base_uri, fuel) for sub in s.any_of):
-                if err("anyOf", "no branch matched"):
+                errors = self._branch_errors(s.any_of, value, base_uri, fuel) \
+                    if self.message_style == "reference" else []
+                if err("anyOf", "no branch matched", errors=errors):
                     return
         if s.one_of is not None:
             n = sum(1 for sub in s.one_of if self._passes(sub, value, base_uri, fuel))
             if n != 1:
-                if err("oneOf", f"{n} branches matched, expected exactly 1"):
+                errors = (self._branch_errors(s.one_of, value, base_uri, fuel)
+                          if self.message_style == "reference" and n == 0 else [])
+                if err("oneOf", f"{n} branches matched, expected exactly 1",
+                       matched=n, errors=errors):
                     return
         if s.not_ is not None:
             if self._passes(s.not_, value, base_uri, fuel):

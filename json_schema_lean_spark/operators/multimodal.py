@@ -5,18 +5,26 @@ decode / feature-extract / resize / frame-sample stages run as Arrow-batched
 ``mapInPandas`` transforms (the 100 TB pattern: media bytes never leave the
 executor, Python sees pyarrow batches, partitioning is preserved).
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode step is STUBBED: ``decoder="fake"`` (default) derives deterministic
-pseudo-features from the bytes (hash-based — stable for tests/benchmarks);
-``decoder="real"`` import-tries the codec libs and raises
-``NotImplementedError`` with a clear message when absent. The Spark-side
-plumbing — schemas, batch iteration, UDF signatures — is real and tested.
+Decoders (r2): ``decoder="real"`` genuinely decodes ONE container format per
+modality with zero third-party deps — 24-bit uncompressed **BMP** for images
+(hand-parsed BITMAPINFOHEADER) and 16-bit PCM **WAV** for audio (stdlib
+``wave``) — and falls back to PIL/librosa for other formats only if those
+libs exist (they don't in this container: such rows yield NULL features,
+the robust large-pipeline behavior). ``decoder="fake"`` (default for
+benches) derives deterministic hash-based pseudo-features. Video frame
+sampling stays stubbed (no ffmpeg in any form here). Deterministic
+generators (:func:`synth_bmp`, :func:`synth_wav`) make the real paths
+testable end-to-end.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+import io
+import math
+import struct
+import wave
+from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -55,6 +63,114 @@ def _fake_u32(data: bytes, salt: bytes) -> int:
     return int.from_bytes(hashlib.sha256(salt + data).digest()[:4], "big")
 
 
+# ---------------------------------------------------------------------------
+# real codecs: 24-bit BMP (hand-parsed) + 16-bit PCM WAV (stdlib wave)
+# ---------------------------------------------------------------------------
+
+def synth_bmp(width: int, height: int, seed: str = "x") -> bytes:
+    """Deterministic valid 24-bit bottom-up BMP (gradient + hash noise)."""
+    row_len = (width * 3 + 3) & ~3
+    pixels = bytearray()
+    noise = hashlib.sha256(seed.encode()).digest()
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            n = noise[(x + y * width) % len(noise)]
+            b = (x * 255 // max(width - 1, 1)) ^ (n & 0x0F)
+            g = (y * 255 // max(height - 1, 1))
+            r = n
+            row += bytes((b & 0xFF, g & 0xFF, r & 0xFF))
+        row += b"\x00" * (row_len - len(row))
+        pixels += row
+    img_size = len(pixels)
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + img_size, 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      img_size, 2835, 2835, 0, 0)
+    return header + dib + bytes(pixels)
+
+
+def decode_bmp(data: bytes) -> Optional[tuple[int, int, int, float, float]]:
+    """(width, height, channels, mean_luma, sharpness) for a 24-bit
+    uncompressed BMP; None when the blob isn't one. mean_luma = Rec.601
+    luma in [0,1]; sharpness = mean |horizontal luma gradient|."""
+    try:
+        if len(data) < 54 or data[:2] != b"BM":
+            return None
+        off, = struct.unpack_from("<I", data, 10)
+        hdr_size, = struct.unpack_from("<I", data, 14)
+        if hdr_size < 40:
+            return None
+        width, height = struct.unpack_from("<ii", data, 18)
+        bpp, = struct.unpack_from("<H", data, 28)
+        comp, = struct.unpack_from("<I", data, 30)
+        if bpp != 24 or comp != 0 or width <= 0 or height == 0:
+            return None
+        flipped = height < 0
+        height = abs(height)
+        row_len = (width * 3 + 3) & ~3
+        if off + row_len * height > len(data):
+            return None
+        total = 0.0
+        grad = 0.0
+        n_grad = 0
+        for y in range(height):
+            base = off + (y if flipped else height - 1 - y) * row_len
+            prev = None
+            for x in range(width):
+                i = base + x * 3
+                b, g, r = data[i], data[i + 1], data[i + 2]
+                luma = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+                total += luma
+                if prev is not None:
+                    grad += abs(luma - prev)
+                    n_grad += 1
+                prev = luma
+        n = width * height
+        return (width, height, 3, total / n, grad / n_grad if n_grad else 0.0)
+    except (struct.error, IndexError):
+        return None
+
+
+def synth_wav(n_samples: int = 1600, rate: int = 16000,
+              seed: str = "x") -> bytes:
+    """Deterministic valid 16-bit PCM mono WAV (seeded sine)."""
+    freq = 200 + int.from_bytes(hashlib.sha256(seed.encode()).digest()[:2],
+                                "big") % 2000
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = bytearray()
+        for i in range(n_samples):
+            v = int(20000 * math.sin(2 * math.pi * freq * i / rate))
+            frames += struct.pack("<h", v)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> Optional[tuple[int, int, float]]:
+    """(sample_rate, n_samples, rms[0..1]) for a 16-bit PCM WAV; None when
+    the blob isn't one."""
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            if w.getsampwidth() != 2:
+                return None
+            rate = w.getframerate()
+            n = w.getnframes()
+            raw = w.readframes(n)
+        count = len(raw) // 2
+        if count == 0:
+            return rate, 0, 0.0
+        acc = 0.0
+        for (v,) in struct.iter_unpack("<h", raw[:count * 2]):
+            acc += (v / 32768.0) ** 2
+        return rate, n, math.sqrt(acc / count)
+    except (wave.Error, EOFError, struct.error):
+        return None
+
+
 def extract_media_meta(df: DataFrame, ref_col: str = "media_ref",
                        bytes_col: str = "media_bytes",
                        kind_col: str = "media_kind") -> DataFrame:
@@ -72,22 +188,38 @@ def image_features(df: DataFrame, ref_col: str = "media_ref",
                    decoder: str = "fake") -> DataFrame:
     """Decode + feature-extract images via mapInPandas (Arrow batches).
 
-    decoder="real" requires PIL (absent in this container -> clear error);
-    decoder="fake" emits deterministic hash-derived features with the same
-    schema, keeping the distributed plumbing testable.
+    decoder="real" decodes 24-bit BMP natively (decode_bmp — no third-party
+    deps); other formats try PIL if present, else the row's features are
+    NULL. decoder="fake" emits deterministic hash-derived features with the
+    same schema for benches.
     """
-    if decoder == "real":
-        try:
-            from PIL import Image  # noqa: F401
-        except ImportError as e:  # pragma: no cover - env without PIL
-            raise NotImplementedError(
-                "real image decode needs PIL, which is not installed in this "
-                "container; use decoder='fake' for plumbing tests") from e
-
     narrow = df.select(F.col(ref_col).alias("media_ref"),
                        F.col(bytes_col).alias("media_bytes"))
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("media_ref", "width", "height",
+                                    "channels", "mean_luma", "sharpness")}
+            for ref, data in zip(pdf["media_ref"], pdf["media_bytes"]):
+                b = bytes(data) if data is not None else b""
+                rows["media_ref"].append(ref)
+                got = decode_bmp(b)
+                if got is None:
+                    got = _pil_decode(b)
+                if got is None:
+                    for k in ("width", "height", "channels",
+                              "mean_luma", "sharpness"):
+                        rows[k].append(None)
+                else:
+                    w, h, c, luma, sharp = got
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["channels"].append(c)
+                    rows["mean_luma"].append(luma)
+                    rows["sharpness"].append(sharp)
+            yield pd.DataFrame(rows)
+
+    def fake_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             refs, ws, hs, cs, lumas, sharps = [], [], [], [], [], []
             for ref, data in zip(pdf["media_ref"], pdf["media_bytes"]):
@@ -103,22 +235,55 @@ def image_features(df: DataFrame, ref_col: str = "media_ref",
                                 "channels": cs, "mean_luma": lumas,
                                 "sharpness": sharps})
 
-    return narrow.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+    fn = real_batches if decoder == "real" else fake_batches
+    return narrow.mapInPandas(fn, IMAGE_FEATURES_SCHEMA)
+
+
+def _pil_decode(b: bytes):
+    """Optional PIL fallback for non-BMP formats (absent container -> None)."""
+    try:  # pragma: no cover - PIL not installed here
+        from PIL import Image
+    except ImportError:
+        return None
+    try:  # pragma: no cover
+        img = Image.open(io.BytesIO(b)).convert("RGB")
+        px = list(img.getdata())
+        n = len(px) or 1
+        luma = sum(0.299 * r + 0.587 * g + 0.114 * b_ for r, g, b_ in px) \
+            / (255.0 * n)
+        return img.width, img.height, 3, luma, 0.0
+    except Exception:
+        return None
 
 
 def audio_features(df: DataFrame, ref_col: str = "media_ref",
                    bytes_col: str = "media_bytes",
                    decoder: str = "fake") -> DataFrame:
-    """Audio decode stub with the same mapInPandas shape."""
-    if decoder == "real":
-        raise NotImplementedError(
-            "real audio decode needs an audio codec lib (librosa/soundfile), "
-            "not installed in this container; use decoder='fake'")
-
+    """Audio features via mapInPandas. decoder="real" decodes 16-bit PCM
+    WAV with the stdlib wave module (decode_wav); non-WAV rows yield NULL
+    features. decoder="fake" keeps the hash-derived bench path."""
     narrow = df.select(F.col(ref_col).alias("media_ref"),
                        F.col(bytes_col).alias("media_bytes"))
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_ref": [], "sample_rate": [], "n_samples": [], "rms": []}
+            for ref, data in zip(pdf["media_ref"], pdf["media_bytes"]):
+                b = bytes(data) if data is not None else b""
+                out["media_ref"].append(ref)
+                got = decode_wav(b)
+                if got is None:
+                    out["sample_rate"].append(None)
+                    out["n_samples"].append(None)
+                    out["rms"].append(None)
+                else:
+                    rate, n, rms = got
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(n)
+                    out["rms"].append(rms)
+            yield pd.DataFrame(out)
+
+    def fake_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"media_ref": [], "sample_rate": [], "n_samples": [], "rms": []}
             for ref, data in zip(pdf["media_ref"], pdf["media_bytes"]):
@@ -129,7 +294,8 @@ def audio_features(df: DataFrame, ref_col: str = "media_ref",
                 out["rms"].append((_fake_u32(b, b"r") % 10_000) / 10_000.0)
             yield pd.DataFrame(out)
 
-    return narrow.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+    fn = real_batches if decoder == "real" else fake_batches
+    return narrow.mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4,

@@ -132,3 +132,46 @@ def test_schema_to_json_roundtrip_fixpoint():
                 else:
                     n += 1
     assert n > 650  # nearly every fixture verdict survives the round trip
+
+
+class TestReferenceMessageGoldens:
+    """Byte-parity with the reference's published reportError goldens
+    (JsonSchemaTesting/Examples.lean:17-22, 82-90) under
+    message_style='reference'."""
+
+    def test_minimal_type_golden(self):
+        v = CompiledValidator({"type": "string"}, message_style="reference")
+        viols = v.validate(42)
+        assert [x.message for x in viols] == \
+            ["Expected one of #[string], got  42"]
+
+    def test_required_fields_golden(self):
+        schema = {
+            "$id": "https://example.com/person.json",
+            "definitions": {"address": {
+                "type": "object",
+                "properties": {"street": {"type": "string"},
+                               "city": {"type": "string"}},
+                "required": ["street", "city"]}},
+            "type": "object",
+            "properties": {"name": {"type": "string"},
+                           "home": {"$ref": "#/definitions/address"},
+                           "work": {"$ref": "#/definitions/address"}},
+            "required": ["name"],
+        }
+        v = CompiledValidator(schema, message_style="reference",
+                              uri="https://example.com/person.json")
+        ok = {"name": "Alice",
+              "home": {"street": "123 Main St", "city": "Springfield"},
+              "work": {"street": "456 Office Blvd", "city": "Shelbyville"}}
+        assert v.validate(ok) == []
+        bad = {"name": "Bob", "work": {"street": "789 Business Ave"}}
+        msgs = [x.message for x in v.validate(bad)]
+        assert msgs == ['Object is missing required fields: '
+                        '#[street, city], got  '
+                        '{"street":"789 Business Ave"}']
+
+    def test_structured_default_unchanged(self):
+        v = CompiledValidator({"type": "string"})
+        assert [x.message for x in v.validate(42)] == \
+            ["expected one of ['string']"]

@@ -278,3 +278,60 @@ def test_multi_column_histograms_single_pass_equivalence(spark):
     for c, lo, hi, nbins in specs:
         assert combined[c] == histogram(li, c, lo, hi, nbins)
         assert len(combined[c]) == nbins
+
+
+# ---------------- multimodal real decoders (r2) -------------------------------
+
+def test_real_bmp_decode_roundtrip(spark):
+    from json_schema_lean_spark.operators.multimodal import (
+        decode_bmp,
+        image_features,
+        synth_bmp,
+    )
+
+    # driver-side decode sanity: gradient image has known shape + luma range
+    blob = synth_bmp(16, 9, seed="s1")
+    w, h, c, luma, sharp = decode_bmp(blob)
+    assert (w, h, c) == (16, 9, 3)
+    assert 0.2 < luma < 0.8 and sharp > 0
+
+    rows = [("asset://img/1", bytearray(synth_bmp(8, 8, "a")), "image"),
+            ("asset://img/2", bytearray(synth_bmp(32, 4, "b")), "image"),
+            ("asset://img/bad", bytearray(b"not a bmp"), "image")]
+    df = spark.createDataFrame(
+        rows, "media_ref string, media_bytes binary, media_kind string")
+    got = {r["media_ref"]: r
+           for r in image_features(df, decoder="real").collect()}
+    assert (got["asset://img/1"]["width"], got["asset://img/1"]["height"]) == (8, 8)
+    assert (got["asset://img/2"]["width"], got["asset://img/2"]["height"]) == (32, 4)
+    assert got["asset://img/bad"]["width"] is None  # undecodable -> NULLs
+    # distributed decode agrees with driver-side decode
+    drv = decode_bmp(synth_bmp(8, 8, "a"))
+    assert abs(got["asset://img/1"]["mean_luma"] - drv[3]) < 1e-9
+
+
+def test_real_wav_decode_roundtrip(spark):
+    import math
+
+    from json_schema_lean_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        synth_wav,
+    )
+
+    blob = synth_wav(n_samples=800, rate=8000, seed="tone")
+    rate, n, rms = decode_wav(blob)
+    assert (rate, n) == (8000, 800)
+    # a full-scale-0.61 sine has rms ~ 0.61/sqrt(2)
+    assert abs(rms - (20000 / 32768.0) / math.sqrt(2)) < 0.02
+
+    rows = [("asset://aud/1", bytearray(blob), "audio"),
+            ("asset://aud/bad", bytearray(b"mp3 junk"), "audio")]
+    df = spark.createDataFrame(
+        rows, "media_ref string, media_bytes binary, media_kind string")
+    got = {r["media_ref"]: r
+           for r in audio_features(df, decoder="real").collect()}
+    assert got["asset://aud/1"]["sample_rate"] == 8000
+    assert got["asset://aud/1"]["n_samples"] == 800
+    assert abs(got["asset://aud/1"]["rms"] - rms) < 1e-9
+    assert got["asset://aud/bad"]["sample_rate"] is None
