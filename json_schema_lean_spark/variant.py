@@ -118,6 +118,11 @@ def _ptr_token(name: str) -> str:
     return name.replace("~", "~0").replace("/", "~1")
 
 
+def _ptr_key(key: Column) -> Column:
+    """RFC 6901 token escaping for a runtime key Column (~ -> ~0, / -> ~1)."""
+    return F.regexp_replace(F.regexp_replace(key, "~", "~0"), "/", "~1")
+
+
 _SIMPLE_KEY = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 _BRACKET_OK = re.compile(r"^[^'\"\\\x00-\x1f\]]+$")
 
@@ -393,12 +398,28 @@ class VariantCompiler:
                     .otherwise(lo.violations(_child(v, k),
                                              F.concat(p, F.lit("/" + t)))))
 
+        def pn_viols_from(bad_keys_fn):
+            """One 'propertyNames' violation per offending key at the
+            object's pointer (interpreter granularity)."""
+            def viol_fn(v: Column, p: Column) -> Column:
+                return F.when(v.isNull() | ~is_obj(v),
+                              F.array().cast(VIOLATION_SCHEMA)) \
+                        .otherwise(F.transform(
+                            bad_keys_fn(v),
+                            lambda k: F.struct(
+                                F.lit("propertyNames").alias("keyword"),
+                                p.alias("json_pointer"),
+                                F.concat(F.lit("property name '"), k,
+                                         F.lit("' invalid"))
+                                 .alias("message"))))
+            return viol_fn
+
         if s.property_names is not None:
             pn = s.property_names
             if isinstance(pn, bool):
                 if not pn:
-                    add_simple(gated(lambda v: F.size(_vmap(v)) == 0),
-                               "propertyNames", "no property names allowed")
+                    add(gated(lambda v: F.size(_vmap(v)) == 0),
+                        pn_viols_from(lambda v: F.map_keys(_vmap(v))))
             else:
                 # names are plain strings: reuse the static compiler's
                 # StringType lowering with the SAME resolver context
@@ -410,10 +431,12 @@ class VariantCompiler:
                 cc._registry = None
                 cc.schema = self.schema
                 name_low = cc._lower(pn, StringType(), base_uri, depth + 1)
-                add_simple(gated(lambda v, lo=name_low: F.forall(
-                    F.map_keys(_vmap(v)),
-                    lambda k: F.coalesce(lo.valid(k), F.lit(False)))),
-                    "propertyNames", "invalid property name")
+                add(gated(lambda v, lo=name_low: F.forall(
+                        F.map_keys(_vmap(v)),
+                        lambda k: F.coalesce(lo.valid(k), F.lit(False)))),
+                    pn_viols_from(lambda v, lo=name_low: F.filter(
+                        F.map_keys(_vmap(v)),
+                        lambda k: ~F.coalesce(lo.valid(k), F.lit(False)))))
 
         from .regex_dialect import to_java_regex
         pattern_res = []
@@ -422,19 +445,34 @@ class VariantCompiler:
             if jpat is None:
                 raise CompileFallback(f"patternProperties regex {pat!r}")
             pattern_res.append(jpat)
+        def entries_viols(entries_fn, low):
+            """Recurse into each entry's value with a per-key pointer —
+            sub-violations keep their own keywords, matching the
+            interpreter's granularity."""
+            def viol_fn(v: Column, p: Column) -> Column:
+                return F.when(v.isNull() | ~is_obj(v),
+                              F.array().cast(VIOLATION_SCHEMA)) \
+                        .otherwise(F.flatten(F.transform(
+                            entries_fn(v),
+                            lambda kv: low.violations(
+                                kv.getField("value"),
+                                F.concat(p, F.lit("/"),
+                                         _ptr_key(kv.getField("key")))))))
+            return viol_fn
+
         if s.pattern_properties:
             for (pat, sub), jpat in zip(s.pattern_properties, pattern_res):
                 low = self._lower(sub, base_uri, depth + 1)
 
-                def v_fn(v: Column, lo=low, p=jpat) -> Column:
-                    matched = F.filter(
+                def matched_fn(v: Column, p=jpat) -> Column:
+                    return F.filter(
                         F.map_entries(_vmap(v)),
                         lambda kv: F.regexp_like(kv.getField("key"), F.lit(p)))
-                    return F.forall(matched, lambda kv: F.coalesce(
-                        lo.valid(kv.getField("value")), F.lit(False)))
 
-                add_simple(gated(v_fn), "patternProperties",
-                           f"value under pattern {pat!r} invalid")
+                add(gated(lambda v, lo=low, m=matched_fn: F.forall(
+                        m(v), lambda kv: F.coalesce(
+                            lo.valid(kv.getField("value")), F.lit(False)))),
+                    entries_viols(matched_fn, low))
 
         if s.additional_properties is not None:
             declared = [n for n, _ in (s.properties or [])]
@@ -450,15 +488,34 @@ class VariantCompiler:
 
             if isinstance(s.additional_properties, bool):
                 if not s.additional_properties:
-                    add_simple(gated(lambda v: F.size(extra_entries(v)) == 0),
-                               "additionalProperties", "unexpected keys")
+                    # one 'false' violation per extra key (matches the
+                    # reference/interpreter, which validate each extra value
+                    # against the `false` schema)
+                    def ap_viols(v: Column, p: Column) -> Column:
+                        return F.when(
+                            v.isNull() | ~is_obj(v)
+                            | (F.size(extra_entries(v)) == 0),
+                            F.array().cast(VIOLATION_SCHEMA)) \
+                            .otherwise(F.transform(
+                                extra_entries(v),
+                                lambda kv: F.struct(
+                                    F.lit("false").alias("keyword"),
+                                    F.concat(p, F.lit("/"),
+                                             _ptr_key(kv.getField("key")))
+                                     .alias("json_pointer"),
+                                    F.lit("Boolean schema 'false' rejects "
+                                          "all values").alias("message"))))
+                    add(lambda v: _guard(v, F.when(
+                            is_obj(v), F.size(extra_entries(v)) == 0)
+                            .otherwise(F.lit(True))),
+                        ap_viols)
             else:
                 low = self._lower(s.additional_properties, base_uri, depth + 1)
-                add_simple(gated(lambda v, lo=low: F.forall(
-                    extra_entries(v),
-                    lambda kv: F.coalesce(lo.valid(kv.getField("value")),
-                                          F.lit(False)))),
-                    "additionalProperties", "additional property value invalid")
+                add(gated(lambda v, lo=low: F.forall(
+                        extra_entries(v),
+                        lambda kv: F.coalesce(lo.valid(kv.getField("value")),
+                                              F.lit(False)))),
+                    entries_viols(extra_entries, low))
 
         if s.dependencies:
             for key, dep in s.dependencies:

@@ -206,3 +206,148 @@ def test_variant_violations_and_null_contract(spark):
     assert rows["e"]["valid"] is None and rows["e"]["violations"] is None
     assert rows["f"]["valid"] is False
     assert [x["keyword"] for x in rows["f"]["violations"]] == ["type"]
+
+
+def _gen_schema(rng, depth=0):
+    """Random draft-7 schema from the variant-lowerable-ish grammar (some
+    outputs legitimately CompileFallback — the test skips those)."""
+    opts = ["type", "enum", "const", "range", "length", "pattern", "object",
+            "items", "combo", "ifelse", "deps"]
+    kind = rng.choice(opts if depth < 2 else opts[:6])
+    if kind == "type":
+        return {"type": rng.choice(
+            ["string", "integer", "number", "boolean", "null", "object",
+             "array", ["string", "null"], ["integer", "boolean"]])}
+    if kind == "enum":
+        return {"enum": rng.sample(
+            [1, 2.5, "a", "b", True, False, None, 0, ""], rng.randint(1, 4))}
+    if kind == "const":
+        return {"const": rng.choice([1, 1.0, "x", True, None, 0.5])}
+    if kind == "range":
+        lo = rng.randint(-3, 3)
+        return rng.choice([{"minimum": lo}, {"maximum": lo},
+                           {"exclusiveMinimum": lo}, {"exclusiveMaximum": lo},
+                           {"multipleOf": rng.choice([2, 0.5, 3])}])
+    if kind == "length":
+        return rng.choice([{"minLength": rng.randint(0, 3)},
+                           {"maxLength": rng.randint(0, 3)}])
+    if kind == "pattern":
+        return {"pattern": rng.choice(["^a", "b$", "a.c", "^[ab]+$", "\\d"])}
+    if kind == "object":
+        props = {k: _gen_schema(rng, depth + 1)
+                 for k in rng.sample(["p", "q", "r"], rng.randint(1, 2))}
+        out = {"properties": props}
+        if rng.random() < 0.5:
+            out["required"] = rng.sample(["p", "q", "r"], rng.randint(1, 2))
+        if rng.random() < 0.3:
+            out["maxProperties"] = rng.randint(0, 3)
+        if rng.random() < 0.2:
+            out["additionalProperties"] = rng.choice(
+                [False, _gen_schema(rng, depth + 1)])
+        return out
+    if kind == "items":
+        out = {"items": _gen_schema(rng, depth + 1)
+               if rng.random() < 0.7 else
+               [_gen_schema(rng, depth + 1), _gen_schema(rng, depth + 1)]}
+        if rng.random() < 0.4:
+            out["minItems"] = rng.randint(0, 2)
+        if rng.random() < 0.2:
+            out["contains"] = _gen_schema(rng, depth + 1)
+        return out
+    if kind == "combo":
+        n = rng.randint(1, 2)
+        key = rng.choice(["allOf", "anyOf", "oneOf", "not"])
+        if key == "not":
+            return {"not": _gen_schema(rng, depth + 1)}
+        return {key: [_gen_schema(rng, depth + 1) for _ in range(n)]}
+    if kind == "ifelse":
+        return {"if": _gen_schema(rng, depth + 1),
+                "then": _gen_schema(rng, depth + 1),
+                "else": _gen_schema(rng, depth + 1)}
+    return {"dependencies": {"p": rng.choice(
+        [["q"], _gen_schema(rng, depth + 1)])}}
+
+
+def _gen_value(rng, depth=0):
+    opts = ["int", "float", "str", "bool", "null", "obj", "arr"]
+    kind = rng.choice(opts if depth < 2 else opts[:5])
+    if kind == "int":
+        return rng.choice([0, 1, -2, 3, 100])
+    if kind == "float":
+        return rng.choice([0.0, 1.0, 2.5, -0.5, 1e2])
+    if kind == "str":
+        return rng.choice(["", "a", "ab", "abc", "b", "x.c", "1", "٣"])
+    if kind == "bool":
+        return rng.choice([True, False])
+    if kind == "null":
+        return None
+    if kind == "obj":
+        return {k: _gen_value(rng, depth + 1)
+                for k in rng.sample(["p", "q", "r", "z"], rng.randint(0, 3))}
+    return [_gen_value(rng, depth + 1) for _ in range(rng.randint(0, 3))]
+
+
+def test_fuzz_variant_verdicts_and_violations_match_interpreter(spark):
+    """Seeded fuzz: random schemas x random JSON values. For every
+    variant-lowerable schema, the variant path must reproduce the
+    interpreter's verdict AND its violation (keyword, json_pointer) multiset
+    root-cause for failing values."""
+    import random
+
+    from json_schema_lean_spark.compiler import VIOLATION_SCHEMA
+
+    rng = random.Random(20260816)
+    cases = []  # (low, schema, [values])
+    tried = 0
+    while len(cases) < 60 and tried < 400:
+        tried += 1
+        schema = _gen_schema(rng)
+        try:
+            low = VariantCompiler(schema).lower()
+        except CompileFallback:
+            continue
+        vals = [_gen_value(rng) for _ in range(8)]
+        cases.append((low, schema, vals))
+    assert len(cases) == 60, (len(cases), tried)
+
+    CHUNK = 20
+    bad = []
+    for start in range(0, len(cases), CHUNK):
+        chunk = cases[start:start + CHUNK]
+        rows = []
+        for li, (_low, schema, vals) in enumerate(chunk):
+            for vi, val in enumerate(vals):
+                rows.append((li, vi, json.dumps(val)))
+        df = spark.createDataFrame(rows, "li int, vi int, inst string")
+        v = F.try_parse_json("inst")
+        valid_expr = F.lit(None).cast("boolean")
+        viol_expr = F.lit(None).cast(VIOLATION_SCHEMA)
+        for li in range(len(chunk) - 1, -1, -1):
+            low = chunk[li][0]
+            ok = F.coalesce(low.valid(v), F.lit(False))
+            valid_expr = F.when(F.col("li") == li, ok).otherwise(valid_expr)
+            viol_expr = F.when(F.col("li") == li,
+                               F.when(ok, F.array().cast(VIOLATION_SCHEMA))
+                                .otherwise(low.violations(v, F.lit("")))) \
+                         .otherwise(viol_expr)
+        got = df.select("li", "vi", valid_expr.alias("valid"),
+                        viol_expr.alias("viols")).collect()
+        for r in got:
+            low, schema, vals = chunk[r["li"]]
+            val = vals[r["vi"]]
+            ref = CompiledValidator(schema)
+            exp_viols = ref.validate(val)
+            exp_valid = not exp_viols
+            if bool(r["valid"]) != exp_valid:
+                bad.append(("verdict", schema, val, exp_valid, r["valid"]))
+                continue
+            if not exp_valid:
+                got_kw = {(x["keyword"], x["json_pointer"])
+                          for x in (r["viols"] or [])}
+                exp_kw = {(x.keyword, x.json_pointer) for x in exp_viols}
+                # exact (keyword, pointer) set parity — the variant path
+                # recurses per key into patternProperties /
+                # additionalProperties / propertyNames like the interpreter
+                if got_kw != exp_kw:
+                    bad.append(("viols", schema, val, exp_kw, got_kw))
+    assert not bad, bad[:10]
