@@ -150,7 +150,14 @@ class VariantCompiler:
         schema_json: Any,
         uri: str = DEFAULT_URI,
         registry: Optional[dict[str, Any]] = None,
+        child_columns: Optional[dict[str, Column]] = None,
     ) -> None:
+        #: optional pre-projected child variants for ROOT-level property /
+        #: required checks (set by validate_json_column_variant's second
+        #: Generate barrier): re-navigating `$.k` from the root re-walks the
+        #: variant binary at every keyword leaf, while a barrier-projected
+        #: struct field is a plain attribute read
+        self.child_columns = child_columns
         self.schema: Schema = parse_schema(schema_json)
         self.root_uri = uri
         self.resolver = Resolver()
@@ -364,13 +371,20 @@ class VariantCompiler:
             # object keywords pass on non-objects (type-guard)
             return lambda v: F.when(is_obj(v), pred_fn(v)).otherwise(F.lit(True))
 
+        def child(v: Column, k: str) -> Column:
+            # root-level children may be pre-projected behind the second
+            # Generate barrier (attribute read instead of variant re-walk)
+            if depth == 0 and self.child_columns and k in self.child_columns:
+                return self.child_columns[k]
+            return _child(v, k)
+
         if s.required:
             req = list(s.required)
             # presence = non-null child (a JSON null value is a non-null
             # VOID variant, so present-with-null still counts)
             add_simple(gated(lambda v, r=req: reduce(
                 lambda a, b: a & b,
-                (_child(v, k).isNotNull() for k in r))),
+                (child(v, k).isNotNull() for k in r))),
                 "required", f"missing one of {req}")
 
         if s.max_properties is not None:
@@ -387,15 +401,15 @@ class VariantCompiler:
                 low = self._lower(sub, base_uri, depth + 1)
                 tok = _ptr_token(name)
 
-                # _child is SQL NULL iff absent (or non-object) — the
+                # child is SQL NULL iff absent (or non-object) — the
                 # absent-passes guard needs no separate is_obj test
                 add(lambda v, lo=low, k=name: F.when(
-                        _child(v, k).isNull(), F.lit(True))
-                    .otherwise(F.coalesce(lo.valid(_child(v, k)), F.lit(False))),
+                        child(v, k).isNull(), F.lit(True))
+                    .otherwise(F.coalesce(lo.valid(child(v, k)), F.lit(False))),
                     lambda v, p, lo=low, k=name, t=tok: F.when(
-                        _child(v, k).isNull(),
+                        child(v, k).isNull(),
                         F.array().cast(VIOLATION_SCHEMA))
-                    .otherwise(lo.violations(_child(v, k),
+                    .otherwise(lo.violations(child(v, k),
                                              F.concat(p, F.lit("/" + t)))))
 
         def pn_viols_from(bad_keys_fn):
@@ -684,7 +698,6 @@ def validate_json_column_variant(df, json_col: str, schema_json: Any,
     invalid with a ``$parse`` violation. Raises CompileFallback outside the
     variant-lowerable subset."""
     comp = VariantCompiler(schema_json, uri=uri, registry=registry)
-    low = comp.lower()
     raw = F.col(json_col)
 
     # Generate barrier (measured 3x at sf0.1): projections INLINE aliased
@@ -699,6 +712,31 @@ def validate_json_column_variant(df, json_col: str, schema_json: Any,
         tmp += "_"
     base = df.select("*", F.explode(F.array(F.try_parse_json(raw))).alias(tmp))
     v = F.col(tmp)
+
+    # second barrier: pre-navigate the ROOT object's property/required
+    # children once per row (each `$.k` navigation otherwise re-walks the
+    # variant binary at every keyword leaf referencing that child)
+    s = comp.schema
+    child_names: list[str] = []
+    if isinstance(s, SchemaObject) and s.ref is None:
+        seen = set()
+        for name, _sub in (s.properties or []):
+            if name not in seen:
+                seen.add(name)
+                child_names.append(name)
+        for name in (s.required or []):
+            if name not in seen:
+                seen.add(name)
+                child_names.append(name)
+    if child_names and len(child_names) <= 64:
+        ctmp = tmp + "_kids"
+        base = base.select("*", F.explode(F.array(F.struct(
+            *[_child(v, n).alias(f"c{i}")
+              for i, n in enumerate(child_names)]))).alias(ctmp))
+        comp.child_columns = {
+            n: F.col(ctmp).getField(f"c{i}")
+            for i, n in enumerate(child_names)}
+    low = comp.lower()
 
     ok = F.coalesce(low.valid(v), F.lit(False))
     valid = (F.when(raw.isNull(), F.lit(None).cast("boolean"))
