@@ -589,10 +589,25 @@ class ColumnarCompiler:
         if s.property_names is not None:
             pn = s.property_names
             low = self._lower(pn, StringType(), base_uri, depth + 1)
-            add_simple(
-                lambda c, lo=low: F.forall(
-                    F.map_keys(c), lambda k: F.coalesce(lo.valid(k), F.lit(False))),
-                "propertyNames", "invalid property name")
+
+            def pn_viols(c: Column, p: Column, lo=low) -> Column:
+                # one violation per offending name (interpreter granularity)
+                return F.when(c.isNull(), F.array().cast(VIOLATION_SCHEMA)) \
+                        .otherwise(F.transform(
+                            F.filter(F.map_keys(c),
+                                     lambda k: ~F.coalesce(lo.valid(k),
+                                                           F.lit(False))),
+                            lambda k: F.struct(
+                                F.lit("propertyNames").alias("keyword"),
+                                p.alias("json_pointer"),
+                                F.concat(F.lit("property name '"), k,
+                                         F.lit("' invalid"))
+                                 .alias("message"))))
+
+            add(lambda c, lo=low: _guard(c, F.forall(
+                    F.map_keys(c),
+                    lambda k: F.coalesce(lo.valid(k), F.lit(False)))),
+                pn_viols)
 
         from .regex_dialect import to_java_regex
         pattern_res = []
@@ -601,23 +616,37 @@ class ColumnarCompiler:
             if jpat is None:
                 raise CompileFallback(f"patternProperties regex {pat!r}")
             pattern_res.append(jpat)
+        def _entry_key_ptr(kv: Column) -> Column:
+            return F.regexp_replace(
+                F.regexp_replace(kv.getField("key"), "~", "~0"), "/", "~1")
+
+        def _entries_viols(entries_fn, low):
+            """Recurse into each entry's value with a per-key pointer."""
+            def viol_fn(c: Column, p: Column) -> Column:
+                return F.when(c.isNull(), F.array().cast(VIOLATION_SCHEMA)) \
+                        .otherwise(F.flatten(F.transform(
+                            entries_fn(c),
+                            lambda kv: low.violations(
+                                kv.getField("value"),
+                                F.concat(p, F.lit("/"), _entry_key_ptr(kv))))))
+            return viol_fn
+
         if s.pattern_properties:
             for (pat, sub), jpat in zip(s.pattern_properties, pattern_res):
                 low = self._lower(sub, val_t, base_uri, depth + 1)
 
-                def v_fn(c: Column, lo=low, p=jpat) -> Column:
-                    matched = F.filter(
+                def matched_fn(c: Column, p=jpat) -> Column:
+                    return F.filter(
                         F.map_entries(c),
                         lambda kv: F.regexp_like(kv.getField("key"), F.lit(p)))
+
+                def v_fn(c: Column, lo=low, m=matched_fn) -> Column:
                     return _guard(c, F.forall(
-                        matched,
+                        m(c),
                         lambda kv: F.coalesce(lo.valid(kv.getField("value")),
                                               F.lit(False))))
 
-                add(v_fn, lambda c, ptr, v=v_fn, p=pat: F.when(
-                    v(c), F.array().cast(VIOLATION_SCHEMA))
-                    .otherwise(F.array(_viol("patternProperties", ptr,
-                                             f"value under pattern {p!r} invalid"))))
+                add(v_fn, _entries_viols(matched_fn, low))
 
         if s.additional_properties is not None:
             declared = [n for n, _ in (s.properties or [])]
@@ -632,16 +661,30 @@ class ColumnarCompiler:
 
             if isinstance(s.additional_properties, bool):
                 if not s.additional_properties:
-                    add_simple(lambda c: F.size(extra_entries(c)) == 0,
-                               "additionalProperties", "unexpected keys")
+                    def ap_viols(c: Column, p: Column) -> Column:
+                        # one 'false' violation per extra key (reference
+                        # validates each extra value against `false`)
+                        return F.when(c.isNull(),
+                                      F.array().cast(VIOLATION_SCHEMA)) \
+                                .otherwise(F.transform(
+                                    extra_entries(c),
+                                    lambda kv: F.struct(
+                                        F.lit("false").alias("keyword"),
+                                        F.concat(p, F.lit("/"),
+                                                 _entry_key_ptr(kv))
+                                         .alias("json_pointer"),
+                                        F.lit("Boolean schema 'false' "
+                                              "rejects all values")
+                                         .alias("message"))))
+                    add(lambda c: _guard(c, F.size(extra_entries(c)) == 0),
+                        ap_viols)
             else:
                 low = self._lower(s.additional_properties, val_t, base_uri, depth + 1)
-                add_simple(
-                    lambda c, lo=low: F.forall(
+                add(lambda c, lo=low: _guard(c, F.forall(
                         extra_entries(c),
                         lambda kv: F.coalesce(lo.valid(kv.getField("value")),
-                                              F.lit(False))),
-                    "additionalProperties", "additional property value invalid")
+                                              F.lit(False)))),
+                    _entries_viols(extra_entries, low))
 
         if s.dependencies:
             for key, dep in s.dependencies:

@@ -63,3 +63,32 @@ def test_events_props_as_map_column(spark):
     for r in rows[:200]:
         k = json.loads(r["props"])["k"]
         assert r["valid"] == (k >= 1), r
+
+
+def test_map_dynamic_object_violations_per_key(spark):
+    """r2: MapType patternProperties/additionalProperties/propertyNames
+    violations carry per-key pointers and sub-keywords, matching the
+    interpreter exactly."""
+    from json_schema_lean_spark.interpreter import CompiledValidator
+    from json_schema_lean_spark.operators.validation import validate_dataframe
+
+    schema = {
+        "type": "object",
+        "properties": {"a": {"type": "integer"}},
+        "patternProperties": {"^x": {"minimum": 5}},
+        "additionalProperties": {"enum": [1, 2]},
+        "propertyNames": {"maxLength": 2},
+    }
+    df = spark.createDataFrame(
+        [({"a": 1, "xq": 3, "zzz": 9},)], "m map<string,int>")
+    out = validate_dataframe(df, schema, doc_col="m")
+    row = out.collect()[0]
+    got = {(x["keyword"], x["json_pointer"]) for x in row["violations"]}
+    ref = CompiledValidator(schema)
+    exp = {(x.keyword, x.json_pointer)
+           for x in ref.validate({"a": 1, "xq": 3, "zzz": 9})}
+    assert row["valid"] is False
+    assert got == exp
+    assert ("minimum", "/xq") in got          # patternProperties recursion
+    assert ("enum", "/zzz") in got            # additionalProperties recursion
+    assert ("propertyNames", "") in got       # per-name at the object ptr
