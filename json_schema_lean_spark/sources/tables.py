@@ -29,3 +29,40 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {n: load_table(spark, n, sf_dir) for n in TABLE_NAMES}
+
+
+#: formats the scan/sink adapters accept. parquet is the scale default
+#: (columnar, statistics, pushdown); json = JSON Lines, full nested-struct
+#: fidelity for interchange (spans arrays round-trip); csv is flat-schema
+#: interchange only (nested columns are rejected by Spark's CSV writer).
+FORMATS = ("parquet", "json", "csv")
+
+
+def read_table(spark: SparkSession, path: str, format: str = "parquet",
+               schema=None, **options) -> DataFrame:
+    """Format-dispatching scan. A schema should be passed for json/csv at
+    scale — inference re-reads the input; parquet carries its own."""
+    if format not in FORMATS:
+        raise ValueError(f"unsupported format {format!r}; one of {FORMATS}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if format == "csv":
+        options.setdefault("header", "true")
+        if schema is None:
+            options.setdefault("inferSchema", "true")
+    return reader.format(format).options(**options).load(path)
+
+
+def write_table(df: DataFrame, path: str, format: str = "parquet",
+                mode: str = "overwrite", partition_by=None,
+                **options) -> None:
+    """Format-dispatching sink (verdict/violation outputs, baselines)."""
+    if format not in FORMATS:
+        raise ValueError(f"unsupported format {format!r}; one of {FORMATS}")
+    if format == "csv":
+        options.setdefault("header", "true")
+    w = df.write.mode(mode).options(**options)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.format(format).save(path)

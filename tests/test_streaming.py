@@ -34,3 +34,36 @@ def test_stream_verdicts_match_batch(spark, spans_dir):
                 for r in validate_dataframe(batch_df, SPAN_SCHEMA)
                 .groupBy("valid").count().collect()}
     assert got == expected
+
+
+def test_variant_json_validation_streams(spark, tmp_path_factory):
+    """r2: the variant path (try_parse_json + Generate barrier) is stateless
+    and must compose with Structured Streaming — verdict counts equal the
+    batch run over the same files."""
+    from json_schema_lean_spark.operators.validation import validate_json_column
+
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.repartition(3).write.parquet(path)
+    schema = {"type": "object", "required": ["k"],
+              "properties": {"k": {"type": "integer", "minimum": 1}}}
+
+    batch = validate_json_column(spark.read.parquet(path), "props", schema,
+                                 verdict_only=True)
+    expected = {r["valid"]: r["count"]
+                for r in batch.groupBy("valid").count().collect()}
+
+    stream_df = (spark.readStream.schema(batch.drop("valid").schema)
+                 .option("maxFilesPerTrigger", 1).parquet(path))
+    v = validate_json_column(stream_df, "props", schema, verdict_only=True)
+    assert v.isStreaming
+    q = (v.groupBy("valid").count()
+          .writeStream.format("memory").queryName("variant_verdicts")
+          .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        got = {r["valid"]: r["count"]
+               for r in spark.sql("select * from variant_verdicts").collect()}
+    finally:
+        q.stop()
+    assert got == expected
