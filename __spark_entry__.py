@@ -305,6 +305,26 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", winnow_fingerprint(F.col("text")).alias("winnow_fp"))
 
 
+STRICT_PROPS_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 1, "maximum": 50}},
+}
+
+
+def _q_events_props_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation ROWS from the variant path (r2): dynamic JSON -> per-value
+    (keyword, RFC 6901 pointer) rows, all JVM-side. Pins violation CONTENT
+    through the driver gate, not just verdicts."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = validate_json_column(ev, "props", STRICT_PROPS_SCHEMA)
+    return (out.where(~F.col("valid"))
+               .select("event_id", F.explode("violations").alias("v"))
+               .select("event_id",
+                       F.col("v.keyword").alias("keyword"),
+                       F.col("v.json_pointer").alias("json_pointer")))
+
+
 def _q_suite_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the JSON-Schema-Test-Suite-shaped fixtures through the Spark
     path and return DISAGREEMENTS with the expected (reference-semantics)
@@ -361,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "users_click_and_purchase": _q_users_click_and_purchase,
         "event_value_percentiles": _q_event_value_percentiles,
+        "events_props_violations": _q_events_props_violations,
         "suite_conformance": _q_suite_conformance,  # rows-only; 0 rows = pass
         "quality_scores": _q_quality_scores,
         "ngram_vocab": _q_ngram_vocab,
@@ -499,6 +520,26 @@ def oracle_sql() -> dict[str, str]:
                 WHERE n_chars IS NOT NULL AND n_chars < 0
             )
             SELECT keyword, sum(n)::BIGINT AS n FROM v GROUP BY keyword HAVING sum(n) > 0
+        """,
+        "events_props_violations": """
+            WITH kv AS (
+                SELECT event_id,
+                       json_extract(props::JSON, '$.k') IS NOT NULL AS has_k,
+                       json_type(props::JSON, '$.k') AS ktype,
+                       CAST(json_extract_string(props::JSON, '$.k') AS DOUBLE) AS kval
+                FROM events
+            )
+            SELECT event_id, 'required' AS keyword, '' AS json_pointer
+            FROM kv WHERE NOT has_k
+            UNION ALL
+            SELECT event_id, 'type', '/k'
+            FROM kv WHERE has_k AND ktype NOT IN ('BIGINT', 'UBIGINT')
+            UNION ALL
+            SELECT event_id, 'minimum', '/k'
+            FROM kv WHERE has_k AND ktype IN ('BIGINT', 'UBIGINT') AND kval < 1
+            UNION ALL
+            SELECT event_id, 'maximum', '/k'
+            FROM kv WHERE has_k AND ktype IN ('BIGINT', 'UBIGINT') AND kval > 50
         """,
         "validate_events_props": """
             SELECT event_id,
