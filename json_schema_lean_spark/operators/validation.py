@@ -263,6 +263,34 @@ def violation_rows_fast(
     )
 
 
+def violation_rows_best(
+    df: DataFrame,
+    schema_json: Any,
+    spans_col: str = "spans",
+    id_cols: Optional[list[str]] = None,
+    registry: Optional[dict[str, Any]] = None,
+    uri: str = "",
+) -> DataFrame:
+    """Violation rows with a fused-verdict PREFILTER (r2): the cheap fused
+    boolean (codegen, zero shuffle, no lambdas) screens out passing docs
+    first, so only failing docs — rare at production quality rates (~2% in
+    the bench corpus) — pay the posexplode + per-span violation collection.
+    Output is row-identical to violation_rows_fast (passing docs contribute
+    no rows by definition; pinned in tests). Falls back to the single-pass
+    form when the schema is outside the fused subset."""
+    from ..plans.fused import FusedUnsupported, validate_documents_fused
+    try:
+        flagged = validate_documents_fused(
+            df, schema_json, spans_col=spans_col, registry=registry, uri=uri,
+            keep_cols=list(df.columns), with_violations=False)
+    except FusedUnsupported:
+        return violation_rows_fast(df, schema_json, spans_col=spans_col,
+                                   id_cols=id_cols, registry=registry, uri=uri)
+    failing = flagged.where(~F.col("valid")).drop("valid")
+    return violation_rows_fast(failing, schema_json, spans_col=spans_col,
+                               id_cols=id_cols, registry=registry, uri=uri)
+
+
 def partition_verdict_metrics(validated: DataFrame) -> DataFrame:
     """Per-partition pass/fail metrics (north_star): one row per physical
     partition with (partition_id, rows, valid_rows, violations). Map-side

@@ -296,3 +296,34 @@ def test_scalar_keywords_columnar(spark):
     # n=-2 fails minimum; s="x" fails minLength+pattern; d=3.5 fails integer;
     # n=7 ok but d=9 fails maximum
     assert got == {1: True, -2: False, 7: False}
+
+
+def test_violation_rows_best_equals_fast(spark):
+    """r2: the fused-verdict prefilter must not change the violation-row
+    output by a single row."""
+    from json_schema_lean_spark.operators.validation import (
+        violation_rows_best,
+        violation_rows_fast,
+    )
+    from json_schema_lean_spark.sources.spansgen import (
+        SPAN_SCHEMA,
+        spans_documents,
+    )
+
+    spans = spans_documents(spark, 2000)
+    a = sorted(map(tuple, violation_rows_fast(
+        spans, SPAN_SCHEMA, id_cols=["doc_id"]).collect()))
+    b = sorted(map(tuple, violation_rows_best(
+        spans, SPAN_SCHEMA, id_cols=["doc_id"]).collect()))
+    assert a == b and len(a) > 0
+
+    # non-fusable schema falls back (still identical)
+    schema = {"type": "object", "properties": {
+        "doc_id": {"type": "string"},
+        "spans": {"items": {"type": ["object", "null"],
+                            "properties": {"text": {"const": "x"}}}}}}
+    c = sorted(map(tuple, violation_rows_fast(
+        spans, schema, id_cols=["doc_id"]).collect()))
+    d = sorted(map(tuple, violation_rows_best(
+        spans, schema, id_cols=["doc_id"]).collect()))
+    assert c == d
