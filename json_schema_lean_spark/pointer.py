@@ -35,6 +35,20 @@ def parse_pointer(pointer: str) -> list[str] | None:
     return [unescape_token(tok) for tok in pointer[1:].split("/")]
 
 
+def parse_uri_fragment_pointer(fragment: str) -> list[str] | None:
+    """Parse a pointer arriving as a URI FRAGMENT (RFC 6901 §6): tokens are
+    percent-encoded on top of the ~-escaping, so decode per token AFTER
+    splitting on '/' (decoding first would mis-split a %2F) and before
+    ~-unescaping ('#/definitions/foo%22bar' -> ['definitions', 'foo"bar'];
+    '%25' -> '%'). Caught by the official-suite escaped-pointer cases."""
+    from urllib.parse import unquote
+    if fragment == "":
+        return []
+    if not fragment.startswith("/"):
+        return None
+    return [unescape_token(unquote(tok)) for tok in fragment[1:].split("/")]
+
+
 def pointer_to_string(tokens: list[str]) -> str:
     if not tokens:
         return ""

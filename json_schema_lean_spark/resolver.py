@@ -117,7 +117,9 @@ class Resolver:
             return self.registered_paths[uri]
         base, frag = split_fragment(uri)
         if frag:
-            tokens = parse_pointer(frag) if frag.startswith("/") else None
+            from .pointer import parse_uri_fragment_pointer
+            tokens = parse_uri_fragment_pointer(frag) \
+                if frag.startswith("/") else None
             if tokens is None:
                 # plain-name anchor that was never registered via $id:
                 # produce a path that cannot navigate, so lookup fails
