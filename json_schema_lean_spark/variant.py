@@ -49,7 +49,6 @@ from .compiler import (
     _cjson,
     _concat_viols,
     _viol,
-    java_regex_safe,
 )
 from .resolver import DEFAULT_URI, Resolver, find_ref_cycle, resolve_uri
 from .schema_ast import ABSENT, Schema, SchemaObject, parse_schema
