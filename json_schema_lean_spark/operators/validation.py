@@ -470,7 +470,9 @@ def suite_validator_udf(fuel: int = DEFAULT_FUEL):
                 continue
             v = cache.get(s_raw)
             if v is None:
-                v = cache.setdefault(s_raw, CompiledValidator(json.loads(s_raw), fuel=fuel))
+                from ..metaschema import META_REGISTRY
+                v = cache.setdefault(s_raw, CompiledValidator(
+                    json.loads(s_raw), fuel=fuel, registry=META_REGISTRY))
             out.append(v.is_valid(json.loads(i_raw)))
         return pd.Series(out, dtype="boolean")
 

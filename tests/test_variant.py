@@ -36,10 +36,11 @@ def load_cases():
 
 
 def lowerable_cases():
+    from json_schema_lean_spark.metaschema import META_REGISTRY
     keep, skipped = [], 0
     for cid, schema, tests in load_cases():
         try:
-            comp = VariantCompiler(schema)
+            comp = VariantCompiler(schema, registry=META_REGISTRY)
             low = comp.lower()
         except CompileFallback:
             skipped += 1
