@@ -167,6 +167,16 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5)
 
 
+def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: banded literal-plane LSH buckets (same technique as
+    embedding_near_dups) — a query scores only its buckets' rows. Fully
+    DuckDB-oracled, unlike the xxhash lsh_topk variant."""
+    from json_schema_lean_spark.operators.similarity import lsh_topk_banded
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    return lsh_topk_banded(emb, queries, dim=64, k=5)
+
+
 def _q_embedding_uniqueitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = validate_dataframe(
@@ -381,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "users_click_and_purchase": _q_users_click_and_purchase,
         "event_value_percentiles": _q_event_value_percentiles,
+        "ann_topk_lsh": _q_ann_topk_lsh,
         "events_props_violations": _q_events_props_violations,
         "suite_conformance": _q_suite_conformance,  # rows-only; 0 rows = pass
         "quality_scores": _q_quality_scores,
@@ -402,6 +413,11 @@ _VALID_DOC_EXPR = """
     AND (source IS NULL OR regexp_matches(source, '^src[0-9]+$'))
     AND (n_chars IS NULL OR (n_chars >= 0 AND n_chars <= 400))
 """
+
+
+def _lsh_topk_oracle() -> str:
+    from json_schema_lean_spark.operators.similarity import lsh_topk_oracle_sql
+    return lsh_topk_oracle_sql("embeddings", "vec_id < 5", dim=64, k=5)
 
 
 def _lsh_near_dup_oracle() -> str:
@@ -727,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "embedding_near_dups": _lsh_near_dup_oracle(),
+        "ann_topk_lsh": _lsh_topk_oracle(),
         "users_click_and_purchase": """
             SELECT user_id FROM events WHERE event_type = 'click'
             INTERSECT

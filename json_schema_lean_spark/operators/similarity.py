@@ -283,6 +283,86 @@ def lsh_near_dup_oracle_sql(table: str, dim: int, threshold: float = 0.45,
     """
 
 
+def lsh_topk_banded(corpus: DataFrame, queries: DataFrame, dim: int,
+                    k: int = 5, bands: int = 12, planes_per_band: int = 4,
+                    seed: int = 42, quant: int = 1000,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via the SAME banded literal-plane signatures as
+    lsh_near_dup_pairs — fully oracle-reproducible (lsh_topk_oracle_sql):
+    a query scores only corpus rows sharing at least one (band, sig)
+    bucket; ranking is a window over the candidate set with deterministic
+    ties (score desc, neighbor id asc). The xxhash-based lsh_topk remains
+    for non-oracled use."""
+    weights = lsh_plane_weights(dim, bands, planes_per_band, seed)
+    c = lsh_band_signatures(corpus, weights, id_col=id_col, vec_col=vec_col,
+                            quant=quant) \
+        .select(F.col("_id").alias("neighbor_id"),
+                F.col("_vec").alias("_cv"), "band", "sig")
+    q = lsh_band_signatures(queries, weights, id_col=id_col, vec_col=vec_col,
+                            quant=quant) \
+        .select(F.col("_id").alias("query_id"),
+                F.col("_vec").alias("_qv"), "band", "sig")
+    cand = (c.join(F.broadcast(q), ["band", "sig"])
+             .where(F.col("neighbor_id") != F.col("query_id"))
+             .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("_cv").cast("array<double>"),
+                       F.col("_qv").cast("array<double>")), 6).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "rank"))
+
+
+def lsh_topk_oracle_sql(table: str, query_pred: str, dim: int, k: int = 5,
+                        bands: int = 12, planes_per_band: int = 4,
+                        seed: int = 42, quant: int = 1000,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> str:
+    """DuckDB replica of lsh_topk_banded: identical literal planes/integer
+    quantization; query set = rows of `table` matching query_pred."""
+    weights = lsh_plane_weights(dim, bands, planes_per_band, seed)
+    values = ",".join(f"({b},{p},{i},{x})"
+                      for b, planes in enumerate(weights)
+                      for p, w in enumerate(planes)
+                      for i, x in enumerate(w))
+    return f"""
+        WITH wt(band, plane, dim, w) AS (VALUES {values}),
+        proj AS (
+            SELECT e.{id_col} AS vid, wt.band, wt.plane,
+                   sum(CAST(floor(CAST(e.{vec_col}[wt.dim + 1] AS DOUBLE)
+                                  * {quant}) AS BIGINT) * wt.w) AS s
+            FROM {table} e, wt GROUP BY 1, 2, 3),
+        sig AS (
+            SELECT vid, band,
+                   sum(CASE WHEN s >= 0 THEN (1::BIGINT << plane)
+                            ELSE 0 END)::BIGINT AS sig
+            FROM proj GROUP BY 1, 2),
+        cand AS (
+            SELECT DISTINCT q.vid AS query_id, c.vid AS neighbor_id
+            FROM sig q JOIN sig c ON q.band = c.band AND q.sig = c.sig
+                                 AND q.vid != c.vid
+            WHERE q.vid IN (SELECT {id_col} FROM {table} WHERE {query_pred})),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   round(list_cosine_similarity(eq.{vec_col}::DOUBLE[],
+                                                ec.{vec_col}::DOUBLE[]), 6)
+                       AS score
+            FROM cand
+            JOIN {table} eq ON eq.{id_col} = cand.query_id
+            JOIN {table} ec ON ec.{id_col} = cand.neighbor_id)
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id ASC)
+                   AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
              n_planes: int = 12, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:

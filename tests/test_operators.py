@@ -377,3 +377,20 @@ def test_csv_roundtrip_flat_table(spark, tmp_path):
     assert back.count() == docs.count()
     assert {r["doc_id"] for r in back.select("doc_id").collect()} == \
            {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+
+def test_lsh_topk_banded_recall_vs_brute(spark):
+    from json_schema_lean_spark.operators.similarity import lsh_topk_banded
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in lsh_topk_banded(emb, q, dim=64, k=5).collect()}
+    # banded OR-amplification: good recall at bands=12 x 4 planes
+    assert len(approx & brute) / len(brute) >= 0.5
+    # deterministic
+    approx2 = {(r["query_id"], r["neighbor_id"])
+               for r in lsh_topk_banded(emb, q, dim=64, k=5).collect()}
+    assert approx == approx2
