@@ -108,6 +108,10 @@ def to_java_regex(pattern: str) -> Optional[str]:
             if e.isdigit():
                 if e == "0" or in_class:
                     return None                 # octal / in-class backrefs
+                if i + 2 < n and pattern[i + 2].isdigit():
+                    # multi-digit sequences hit Python's backref-vs-octal
+                    # ambiguity rules, which Java does not share — be safe
+                    return None
                 out.append(c + e)               # backreference: same meaning
                 i += 2
                 continue

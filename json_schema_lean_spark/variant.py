@@ -123,7 +123,10 @@ def _ptr_key(key: Column) -> Column:
 
 
 _SIMPLE_KEY = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
-_BRACKET_OK = re.compile(r"^[^'\"\\\x00-\x1f\]]+$")
+#: keys safe inside a quoted bracket path: no quotes/backslashes/control
+#: chars and no brackets (the variant path grammar's treatment of nested
+#: brackets inside quotes is not documented — the map route handles those)
+_BRACKET_OK = re.compile(r"^[^'\"\\\x00-\x1f\[\]]+$")
 
 
 def _child(v: Column, name: str) -> Column:

@@ -352,3 +352,38 @@ def test_fuzz_variant_verdicts_and_violations_match_interpreter(spark):
                 if got_kw != exp_kw:
                     bad.append(("viols", schema, val, exp_kw, got_kw))
     assert not bad, bad[:10]
+
+
+def test_weird_object_keys_route_correctly(spark):
+    """Keys exercising all three child-access routes (simple path, quoted
+    bracket path, map fallback) must validate and report identically."""
+    weird_keys = ["simple", "a b", "a[b]", "a'b", 'a"b', "a\\b", "a/b",
+                  "a~b", "a.b"]
+    schema = {"type": "object", "required": weird_keys,
+              "properties": {k: {"type": "integer"} for k in weird_keys}}
+    good = json.dumps({k: 1 for k in weird_keys})
+    bad = json.dumps({k: (1 if i else "x")
+                      for i, k in enumerate(weird_keys)})
+    missing = json.dumps({k: 1 for k in weird_keys[1:]})
+    df = spark.createDataFrame(
+        [("g", good), ("b", bad), ("m", missing)], "id string, props string")
+    out = {r["id"]: r for r in
+           validate_json_column_variant(df, "props", schema).collect()}
+    ref = CompiledValidator(schema)
+    assert out["g"]["valid"] is True
+    assert out["b"]["valid"] is False
+    assert out["m"]["valid"] is False
+    for rid, doc in [("g", good), ("b", bad), ("m", missing)]:
+        exp = {(x.keyword, x.json_pointer)
+               for x in ref.validate(json.loads(doc))}
+        got = {(x["keyword"], x["json_pointer"])
+               for x in (out[rid]["violations"] or [])}
+        assert got == exp, (rid, got, exp)
+
+
+def test_regex_backref_digit_sequences_reject():
+    from json_schema_lean_spark.regex_dialect import to_java_regex
+
+    # (a)\1 fine; (a)\12 hits Python's backref-vs-octal ambiguity -> reject
+    assert to_java_regex(r"(a)\1") is not None
+    assert to_java_regex(r"(a)\12") is None
