@@ -463,9 +463,19 @@ class ColumnarCompiler:
                 bad = [k for k in names
                        if not nv._passes(pn, k, base_uri, nv.fuel)]
             if bad:
-                add_simple(lambda c, b=bad: ~reduce(lambda x, y: x | y,
-                                                    (present(c, k) for k in b)),
-                           "propertyNames", f"invalid property names {bad}")
+                # one violation per PRESENT bad name at the object's pointer
+                # (interpreter/variant/MapType granularity)
+                def pn_viols(c: Column, p: Column, b=bad) -> Column:
+                    return F.when(c.isNull(), F.array().cast(VIOLATION_SCHEMA)) \
+                            .otherwise(_concat_viols([
+                                F.when(present(c, k), F.array(_viol(
+                                    "propertyNames", p,
+                                    f"property name '{k}' invalid")))
+                                 .otherwise(F.array().cast(VIOLATION_SCHEMA))
+                                for k in b]))
+                add(lambda c, b=bad: _guard(c, ~reduce(
+                        lambda x, y: x | y, (present(c, k) for k in b))),
+                    pn_viols)
 
         if s.additional_properties is not None:
             declared = {n for n, _ in (s.properties or [])}
@@ -480,9 +490,26 @@ class ColumnarCompiler:
             if extra:
                 if isinstance(s.additional_properties, bool):
                     if not s.additional_properties:
-                        add_simple(lambda c, e=extra: ~reduce(lambda x, y: x | y,
-                                                              (present(c, k) for k in e)),
-                                   "additionalProperties", f"unexpected keys {extra}")
+                        # one 'false' violation per present extra key
+                        # (reference validates each against `false`)
+                        def ap_viols(c: Column, p: Column, e=extra) -> Column:
+                            return F.when(c.isNull(),
+                                          F.array().cast(VIOLATION_SCHEMA)) \
+                                    .otherwise(_concat_viols([
+                                        F.when(present(c, k), F.array(_viol(
+                                            "false",
+                                            F.concat(p, F.lit(
+                                                "/" + k.replace("~", "~0")
+                                                        .replace("/", "~1"))),
+                                            "Boolean schema 'false' rejects "
+                                            "all values")))
+                                         .otherwise(F.array()
+                                                    .cast(VIOLATION_SCHEMA))
+                                        for k in e]))
+                        add(lambda c, e=extra: _guard(c, ~reduce(
+                                lambda x, y: x | y,
+                                (present(c, k) for k in e))),
+                            ap_viols)
                 else:
                     for k in extra:
                         low = self._lower(s.additional_properties, field_type[k],

@@ -327,3 +327,27 @@ def test_violation_rows_best_equals_fast(spark):
     d = sorted(map(tuple, violation_rows_best(
         spans, schema, id_cols=["doc_id"]).collect()))
     assert c == d
+
+
+def test_struct_dynamic_object_violations_per_key(spark):
+    """r2: StructType propertyNames / additionalProperties:false violations
+    carry per-key granularity matching the interpreter."""
+    from json_schema_lean_spark.interpreter import CompiledValidator
+    from json_schema_lean_spark.operators.validation import validate_dataframe
+
+    schema = {
+        "type": "object",
+        "properties": {"ok": {}},
+        "propertyNames": {"maxLength": 3},
+        "additionalProperties": False,
+    }
+    df = spark.createDataFrame([(1, 2, 3)], "ok int, zz int, toolong int")
+    row = validate_dataframe(df, schema).collect()[0]
+    got = {(x["keyword"], x["json_pointer"]) for x in row["violations"]}
+    ref = CompiledValidator(schema)
+    exp = {(x.keyword, x.json_pointer)
+           for x in ref.validate({"ok": 1, "zz": 2, "toolong": 3})}
+    assert row["valid"] is False
+    assert got == exp
+    assert ("propertyNames", "") in got
+    assert ("false", "/zz") in got and ("false", "/toolong") in got
