@@ -202,7 +202,7 @@ def parse_schema(j: Any) -> Schema:
         obj.pattern = v
 
     # --- recursive fields ---
-    obj.items = _parse_items(j)
+    obj.items, _items_rest = _parse_items(j)
 
     for kw, attr in [
         ("propertyNames", "property_names"),
@@ -214,6 +214,11 @@ def parse_schema(j: Any) -> Schema:
         v = opt(kw)
         if v is not ABSENT:
             setattr(obj, attr, parse_schema(v))
+
+    # 2020-12 alias: single-form items next to prefixItems is the
+    # rest-schema; an explicit additionalItems still wins
+    if _items_rest is not None and obj.additional_items is None:
+        obj.additional_items = _items_rest
 
     for kw, attr in [("properties", "properties"), ("patternProperties", "pattern_properties")]:
         v = opt(kw)
@@ -246,17 +251,26 @@ def parse_schema(j: Any) -> Schema:
     return obj
 
 
-def _parse_items(j: dict) -> Optional[ItemsSchema]:
+def _parse_items(j: dict) -> tuple[Optional[ItemsSchema], Optional["Schema"]]:
+    """Returns (items, extra_additional_items).
+
+    2020-12 lenient aliases (extension): ``prefixItems`` is positional
+    items, and when it appears TOGETHER with a single-form ``items``, that
+    ``items`` plays draft-7 ``additionalItems``' role (the rest-schema) —
+    returned as the second element so the caller can slot it in unless an
+    explicit ``additionalItems`` also exists."""
+    pv = j.get("prefixItems", ABSENT)
     v = j.get("items", ABSENT)
+    if pv is not ABSENT and isinstance(pv, list):
+        tup = ItemsSchema(tuple_items=[parse_schema(s) for s in pv])
+        if v is not ABSENT and not isinstance(v, list):
+            return tup, parse_schema(v)
+        return tup, None
     if v is not ABSENT:
         if isinstance(v, list):
-            return ItemsSchema(tuple_items=[parse_schema(s) for s in v])
-        return ItemsSchema(single=parse_schema(v))
-    # 2020-12 alias (extension): prefixItems is positional items
-    v = j.get("prefixItems", ABSENT)
-    if v is not ABSENT and isinstance(v, list):
-        return ItemsSchema(tuple_items=[parse_schema(s) for s in v])
-    return None
+            return ItemsSchema(tuple_items=[parse_schema(s) for s in v]), None
+        return ItemsSchema(single=parse_schema(v)), None
+    return None, None
 
 
 def _parse_dependencies(j: dict) -> Optional[list[tuple[str, Dependency]]]:

@@ -127,13 +127,22 @@ def map_rows():
 def test_map_lowering_agrees_with_interpreter(spark, schema, data):
     ref = CompiledValidator(schema)
     expected = [True if m is None else ref.is_valid(dict(m)) for m in data]
+    exp_viols = [[] if m is None else
+                 sorted((x.keyword, x.json_pointer)
+                        for x in ref.validate(dict(m)))
+                 for m in data]
     df = spark.createDataFrame([(m,) for m in data], "m: map<string,long>")
     try:
         out = validate_dataframe(df, schema, doc_col="m")
     except CompileFallback:
         return
-    got = [r["valid"] for r in out.collect()]
+    rows = out.collect()
+    got = [r["valid"] for r in rows]
     assert got == expected, (schema, data, got, expected)
+    # r2: violation (keyword, pointer) MULTISETS must also agree
+    got_viols = [sorted((x["keyword"], x["json_pointer"])
+                        for x in (r["violations"] or [])) for r in rows]
+    assert got_viols == exp_viols, (schema, data, got_viols, exp_viols)
 
 
 @pytest.mark.slow
@@ -151,10 +160,21 @@ def test_columnar_agrees_with_interpreter(spark, schema, data):
         if "arr" in doc:
             doc["arr"] = [x for x in doc["arr"]]
         expected.append(ref.is_valid(doc))
+    exp_viols = []
+    for t in data:
+        doc = row_to_json(t)
+        if "arr" in doc:
+            doc["arr"] = [x for x in doc["arr"]]
+        exp_viols.append(sorted((x.keyword, x.json_pointer)
+                                for x in ref.validate(doc)))
     df = spark.createDataFrame(data, TABLE_SCHEMA)
     try:
         out = validate_dataframe(df, schema)
     except CompileFallback:
         return  # legal: routed to the Arrow path in production
-    got = [r["valid"] for r in out.collect()]
+    rows = out.collect()
+    got = [r["valid"] for r in rows]
     assert got == expected, (schema, data, got, expected)
+    got_viols = [sorted((x["keyword"], x["json_pointer"])
+                        for x in (r["violations"] or [])) for r in rows]
+    assert got_viols == exp_viols, (schema, data, got_viols, exp_viols)

@@ -175,3 +175,20 @@ class TestReferenceMessageGoldens:
         v = CompiledValidator({"type": "string"})
         assert [x.message for x in v.validate(42)] == \
             ["expected one of ['string']"]
+
+
+def test_prefixitems_with_rest_items_2020_alias():
+    """2020-12 lenient alias: prefixItems + single-form items means
+    positional prefix + rest-schema (draft-7 additionalItems role)."""
+    v = CompiledValidator({"prefixItems": [{"type": "integer"}],
+                           "items": {"type": "string"}})
+    assert v.is_valid([1, "a", "b"]) is True
+    assert v.is_valid([1, 2]) is False
+    assert v.is_valid(["x", "a"]) is False
+    assert v.is_valid([]) is True
+    # explicit additionalItems wins over the aliased rest-schema
+    v2 = CompiledValidator({"prefixItems": [{"type": "integer"}],
+                            "items": {"type": "string"},
+                            "additionalItems": {"type": "boolean"}})
+    assert v2.is_valid([1, True]) is True
+    assert v2.is_valid([1, "a"]) is False
