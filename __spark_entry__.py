@@ -167,6 +167,22 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5)
 
 
+def _q_suppliers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop dimension join (supplier -> nation -> region): both dims
+    are broadcast-sized, so the plan is two BroadcastHashJoins with zero
+    fact-side shuffle before the final tiny aggregation."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (sup.join(F.broadcast(nat),
+                     sup["s_nationkey"] == nat["n_nationkey"])
+               .join(F.broadcast(reg),
+                     nat["n_regionkey"] == reg["r_regionkey"])
+               .groupBy("r_name")
+               .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                    F.round(F.avg("s_acctbal"), 6).alias("avg_acctbal")))
+
+
 def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: banded literal-plane LSH buckets (same technique as
     embedding_near_dups) — a query scores only its buckets' rows. Fully
@@ -391,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "users_click_and_purchase": _q_users_click_and_purchase,
         "event_value_percentiles": _q_event_value_percentiles,
+        "suppliers_per_region": _q_suppliers_per_region,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "events_props_violations": _q_events_props_violations,
         "suite_conformance": _q_suite_conformance,  # rows-only; 0 rows = pass
@@ -744,6 +761,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dups": _lsh_near_dup_oracle(),
         "ann_topk_lsh": _lsh_topk_oracle(),
+        "suppliers_per_region": """
+            SELECT r.r_name,
+                   count(*)::BIGINT AS n_suppliers,
+                   round(avg(s.s_acctbal), 6) AS avg_acctbal
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
         "users_click_and_purchase": """
             SELECT user_id FROM events WHERE event_type = 'click'
             INTERSECT
