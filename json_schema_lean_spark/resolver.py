@@ -92,6 +92,11 @@ class Resolver:
         if isinstance(node_id, str):
             base_uri = resolve_uri(base_uri, node_id)
             self.registered_paths[base_uri] = (root_uri, list(path))
+        # 2020-12 alias (extension): $anchor: "name" == draft-7 $id: "#name"
+        anchor = node.get("$anchor")
+        if isinstance(anchor, str) and anchor:
+            self.registered_paths[resolve_uri(base_uri, "#" + anchor)] = \
+                (root_uri, list(path))
         for kw, child in node.items():
             if kw in _SCHEMA_KEYWORDS:
                 self._register_paths(child, root_uri, base_uri, path + [kw])

@@ -84,3 +84,19 @@ def test_weird_empty_key_pointer_navigates():
     got = r.get_schema_and_uri(root, path)
     assert got is not None
     assert got[0].types == ["integer"]
+
+
+def test_anchor_2020_alias():
+    """2020-12 $anchor registers like a draft-7 plain-name $id fragment."""
+    from json_schema_lean_spark.interpreter import CompiledValidator
+
+    schema = {
+        "$id": "https://ex.example/root",
+        "definitions": {
+            "named": {"$anchor": "intdef", "type": "integer"},
+        },
+        "properties": {"k": {"$ref": "#intdef"}},
+    }
+    v = CompiledValidator(schema, uri="https://ex.example/root")
+    assert v.is_valid({"k": 3}) is True
+    assert v.is_valid({"k": "s"}) is False
