@@ -803,10 +803,29 @@ class ColumnarCompiler:
 
         if s.contains is not None:
             low = self._lower(s.contains, elem_t, base_uri, depth + 1, "null")
-            add_simple(
-                lambda c, lo=low: (F.size(c) > 0)
-                & F.exists(c, lambda e: F.coalesce(lo.valid(e), F.lit(False))),
-                "contains", "no element matches (or empty array)")
+            lo_n = s.min_contains if s.min_contains is not None else 1
+            hi_n = s.max_contains
+            if lo_n == 1 and hi_n is None:
+                add_simple(
+                    lambda c, lo=low: (F.size(c) > 0)
+                    & F.exists(c, lambda e: F.coalesce(lo.valid(e), F.lit(False))),
+                    "contains", "no element matches (or empty array)")
+            else:
+                # 2020-12 min/maxContains (extension): bound the match count
+                def n_matched(c: Column, lo=low) -> Column:
+                    return F.size(F.filter(
+                        c, lambda e: F.coalesce(lo.valid(e), F.lit(False))))
+                pred_parts = []
+                if lo_n > 0:
+                    pred_parts.append(lambda c: n_matched(c) >= lo_n)
+                if hi_n is not None:
+                    pred_parts.append(lambda c: n_matched(c) <= hi_n)
+                add_simple(
+                    lambda c, ps=pred_parts: reduce(
+                        lambda a, b: a & b, (p(c) for p in ps))
+                    if ps else F.lit(True),
+                    "contains",
+                    f"match count outside [{lo_n}, {hi_n}]")
 
     # ---- combinators ----------------------------------------------------------
 

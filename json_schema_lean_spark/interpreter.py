@@ -408,12 +408,31 @@ class CompiledValidator:
                        limit=s.min_items):
                     return
             if s.contains is not None:
-                if not value:
-                    if err("contains", "array is empty", empty=True):
-                        return
-                elif not any(self._passes(s.contains, e, base_uri, fuel) for e in value):
-                    if err("contains", "no element matches", empty=False):
-                        return
+                lo_n = s.min_contains if s.min_contains is not None else 1
+                hi_n = s.max_contains
+                if lo_n == 1 and hi_n is None:
+                    # reference fast path (short-circuits on first match)
+                    if not value:
+                        if err("contains", "array is empty", empty=True):
+                            return
+                    elif not any(self._passes(s.contains, e, base_uri, fuel)
+                                 for e in value):
+                        if err("contains", "no element matches", empty=False):
+                            return
+                else:
+                    # 2020-12 min/maxContains (extension): bound the count
+                    matched = sum(1 for e in value
+                                  if self._passes(s.contains, e, base_uri, fuel))
+                    if matched < lo_n:
+                        if err("contains",
+                               f"only {matched} elements match, need {lo_n}",
+                               empty=not value):
+                            return
+                    elif hi_n is not None and matched > hi_n:
+                        if err("contains",
+                               f"{matched} elements match, max {hi_n}",
+                               empty=False):
+                            return
         if s.all_of is not None:
             for i, sub in enumerate(s.all_of):
                 before = len(out)

@@ -83,6 +83,10 @@ class SchemaObject:
     max_items: Optional[int] = None
     min_items: Optional[int] = None
     contains: Optional["Schema"] = None
+    #: 2020-12 aliases (extension): bound the COUNT of contains-matches.
+    #: None = defaults (min 1, no max); ignored without `contains`.
+    min_contains: Optional[int] = None
+    max_contains: Optional[int] = None
     all_of: Optional[list["Schema"]] = None
     any_of: Optional[list["Schema"]] = None
     one_of: Optional[list["Schema"]] = None
@@ -180,6 +184,7 @@ def parse_schema(j: Any) -> Schema:
         ("maxLength", "max_length"), ("minLength", "min_length"),
         ("maxProperties", "max_properties"), ("minProperties", "min_properties"),
         ("maxItems", "max_items"), ("minItems", "min_items"),
+        ("minContains", "min_contains"), ("maxContains", "max_contains"),
     ]:
         v = opt(kw)
         if v is not ABSENT:
@@ -383,6 +388,10 @@ def schema_to_json(s: Schema) -> Any:
         out["minItems"] = s.min_items
     if s.contains is not None:
         out["contains"] = schema_to_json(s.contains)
+    if s.min_contains is not None:
+        out["minContains"] = s.min_contains
+    if s.max_contains is not None:
+        out["maxContains"] = s.max_contains
     if s.all_of is not None:
         out["allOf"] = [schema_to_json(x) for x in s.all_of]
     if s.any_of is not None:

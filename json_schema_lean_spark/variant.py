@@ -630,9 +630,26 @@ class VariantCompiler:
 
         if s.contains is not None:
             low = self._lower(s.contains, base_uri, depth + 1)
-            add_simple(gated(lambda a, lo=low: (F.size(a) > 0) & F.exists(
-                a, lambda e: F.coalesce(lo.valid(e), F.lit(False)))),
-                "contains", "no element matches (or empty array)")
+            lo_n = s.min_contains if s.min_contains is not None else 1
+            hi_n = s.max_contains
+            if lo_n == 1 and hi_n is None:
+                add_simple(gated(lambda a, lo=low: (F.size(a) > 0) & F.exists(
+                    a, lambda e: F.coalesce(lo.valid(e), F.lit(False)))),
+                    "contains", "no element matches (or empty array)")
+            else:
+                # 2020-12 min/maxContains (extension)
+                def n_matched(a: Column, lo=low) -> Column:
+                    return F.size(F.filter(
+                        a, lambda e: F.coalesce(lo.valid(e), F.lit(False))))
+                def pred(a: Column) -> Column:
+                    p = F.lit(True)
+                    if lo_n > 0:
+                        p = p & (n_matched(a) >= lo_n)
+                    if hi_n is not None:
+                        p = p & (n_matched(a) <= hi_n)
+                    return p
+                add_simple(gated(pred), "contains",
+                           f"match count outside [{lo_n}, {hi_n}]")
 
     # ---- combinators ---------------------------------------------------------
 

@@ -387,3 +387,42 @@ def test_regex_backref_digit_sequences_reject():
     # (a)\1 fine; (a)\12 hits Python's backref-vs-octal ambiguity -> reject
     assert to_java_regex(r"(a)\1") is not None
     assert to_java_regex(r"(a)\12") is None
+
+
+def test_min_max_contains_all_paths(spark):
+    """2020-12 minContains/maxContains (extension) agree across interpreter,
+    typed columnar, and variant paths."""
+    from json_schema_lean_spark.operators.validation import validate_dataframe
+
+    cases = [
+        ({"contains": {"minimum": 5}, "minContains": 2},
+         [([5, 6], True), ([5], False), ([], False), ([5, 6, 7], True)]),
+        ({"contains": {"minimum": 5}, "minContains": 0},
+         [([], True), ([1], True), ([5], True)]),
+        ({"contains": {"minimum": 5}, "maxContains": 1},
+         [([5], True), ([5, 6], False), ([1, 5], True), ([], False)]),
+        ({"contains": {"minimum": 5}, "minContains": 1, "maxContains": 2},
+         [([5, 6], True), ([5, 6, 7], False), ([1], False)]),
+        ({"minContains": 2, "maxContains": 3},          # no contains: no-ops
+         [([1], True), ([], True)]),
+    ]
+    for schema, data in cases:
+        ref = CompiledValidator(schema)
+        for arr, expected in data:
+            assert ref.is_valid(arr) is expected, ("interp", schema, arr)
+        # typed columnar over array<int>
+        df = spark.createDataFrame([(i, a) for i, (a, _) in enumerate(data)],
+                                   "i int, arr array<int>")
+        out = {r["i"]: r["valid"]
+               for r in validate_dataframe(df, schema, doc_col="arr").collect()}
+        for i, (arr, expected) in enumerate(data):
+            assert out[i] == expected, ("columnar", schema, arr)
+        # variant over JSON strings
+        vdf = spark.createDataFrame(
+            [(i, json.dumps(a)) for i, (a, _) in enumerate(data)],
+            "i int, props string")
+        vout = {r["i"]: r["valid"]
+                for r in validate_json_column_variant(
+                    vdf, "props", schema, verdict_only=True).collect()}
+        for i, (arr, expected) in enumerate(data):
+            assert vout[i] == expected, ("variant", schema, arr)
