@@ -192,3 +192,18 @@ def test_prefixitems_with_rest_items_2020_alias():
                             "additionalItems": {"type": "boolean"}})
     assert v2.is_valid([1, True]) is True
     assert v2.is_valid([1, "a"]) is False
+
+
+def test_2020_12_alias_surface():
+    """The lenient 2020-12 aliases (extension): $defs, dependentRequired,
+    dependentSchemas, prefixItems, $anchor, minContains/maxContains all map
+    onto the draft-7 structures."""
+    v = CompiledValidator({"$defs": {"p": {"type": "integer"}},
+                           "properties": {"k": {"$ref": "#/$defs/p"}}})
+    assert v.is_valid({"k": 1}) and not v.is_valid({"k": "x"})
+    v = CompiledValidator({"dependentRequired": {"a": ["b"]}})
+    assert v.is_valid({"a": 1, "b": 2}) and not v.is_valid({"a": 1})
+    v = CompiledValidator({"dependentSchemas": {"a": {"required": ["b"]}}})
+    assert v.is_valid({"a": 1, "b": 2}) and not v.is_valid({"a": 1})
+    v = CompiledValidator({"contains": {"const": 1}, "minContains": 0})
+    assert v.is_valid([]) and v.is_valid([2])
