@@ -105,7 +105,9 @@ def test_fuzz_accepted_patterns_match_python(spark):
     rng = random.Random(20260816)
     atoms = ["a", "b", "ab", "x", ".", r"\d", "[ab]", "[^ab]", "[a-f]",
              r"\.", "(a)", "(?:ab)", "a|b", r"[\d]", "[]x]", "[a&&b]",
-             r"\x41", "é", "٣", r"\U0001F4A9", r"\n", r"\t"]
+             r"\x41", "é", "٣", r"\U0001F4A9", r"\n", r"\t",
+             "(?:a|b)", r"(a)\1", "(?=a)a", "(?!b)a", "(?<=a)b", "(?<!a)b",
+             r"[^a-c\d]", r"\$", "[.]", "[$]", "[~-]", r"x\-y"]
     quants = ["", "*", "+", "?", "{1,2}", "{2}", "{,2}", "*?", "+?"]
     anchors_pre = ["", "^"]
     anchors_post = ["", "$", r"\Z"]
@@ -117,7 +119,8 @@ def test_fuzz_accepted_patterns_match_python(spark):
         return rng.choice(anchors_pre) + body + rng.choice(anchors_post)
 
     alphabet = ["a", "b", "c", "f", "x", "é", "٣", "7", "\n", "\r", " ",
-                "\U0001F4A9", ".", "[", "]", "&", "{", "}"]
+                "\U0001F4A9", ".", "[", "]", "&", "{", "}", "\x85",
+                "\u2028", "$", "~", "-", "\x0b", "\x08"]
 
     def gen_string():
         return "".join(rng.choice(alphabet)
@@ -125,7 +128,7 @@ def test_fuzz_accepted_patterns_match_python(spark):
 
     pairs, expected = [], []
     accepted = 0
-    for _ in range(400):
+    for _ in range(700):
         pat = gen_pattern()
         jpat = to_java_regex(pat)
         if jpat is None:
