@@ -555,24 +555,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT keyword, sum(n)::BIGINT AS n FROM v GROUP BY keyword HAVING sum(n) > 0
         """,
         "events_props_violations": """
-            WITH kv AS (
+            WITH typed AS (
                 SELECT event_id,
-                       json_extract(props::JSON, '$.k') IS NOT NULL AS has_k,
-                       json_type(props::JSON, '$.k') AS ktype,
-                       CAST(json_extract_string(props::JSON, '$.k') AS DOUBLE) AS kval
+                       TRY_CAST(props AS JSON) AS pj,
+                       TRY_CAST(props AS JSON) IS NOT NULL AS parsed,
+                       json_type(TRY_CAST(props AS JSON)) AS roottype,
+                       list_contains(json_keys(TRY_CAST(props AS JSON)),
+                                     'k') AS has_k,
+                       json_type(TRY_CAST(props AS JSON), '$.k') AS ktype,
+                       TRY_CAST(json_extract_string(TRY_CAST(props AS JSON),
+                                                    '$.k') AS DOUBLE) AS kval
                 FROM events
+                WHERE props IS NOT NULL   -- NULL input -> NULL verdict row
+            ), intk AS (
+                SELECT *,
+                       (ktype IN ('BIGINT', 'UBIGINT')
+                        OR (ktype = 'DOUBLE' AND isfinite(kval)
+                            AND kval = floor(kval))) AS k_is_int
+                FROM typed
             )
-            SELECT event_id, 'required' AS keyword, '' AS json_pointer
-            FROM kv WHERE NOT has_k
+            SELECT event_id, '$parse' AS keyword, '' AS json_pointer
+            FROM intk WHERE NOT parsed
+            UNION ALL
+            SELECT event_id, 'type', ''
+            FROM intk WHERE parsed AND roottype != 'OBJECT'
+            UNION ALL
+            SELECT event_id, 'required', ''
+            FROM intk WHERE parsed AND roottype = 'OBJECT' AND NOT has_k
             UNION ALL
             SELECT event_id, 'type', '/k'
-            FROM kv WHERE has_k AND ktype NOT IN ('BIGINT', 'UBIGINT')
+            FROM intk WHERE parsed AND roottype = 'OBJECT' AND has_k
+                        AND NOT k_is_int
             UNION ALL
             SELECT event_id, 'minimum', '/k'
-            FROM kv WHERE has_k AND ktype IN ('BIGINT', 'UBIGINT') AND kval < 1
+            FROM intk WHERE parsed AND roottype = 'OBJECT' AND has_k
+                        AND k_is_int AND kval < 1
             UNION ALL
             SELECT event_id, 'maximum', '/k'
-            FROM kv WHERE has_k AND ktype IN ('BIGINT', 'UBIGINT') AND kval > 50
+            FROM intk WHERE parsed AND roottype = 'OBJECT' AND has_k
+                        AND k_is_int AND kval > 50
         """,
         "validate_events_props": """
             SELECT event_id,

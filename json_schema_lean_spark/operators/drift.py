@@ -33,6 +33,8 @@ def histograms(df: DataFrame,
     aggregates; all of them ride a single map-side-combinable agg over one
     scan. Values outside [lo, hi) clamp into the edge bins so new outliers
     register as edge mass; NULLs count nowhere."""
+    if not specs:
+        return {}
     aggs = []
     for c, lo, hi, nbins in specs:
         width = (hi - lo) / nbins

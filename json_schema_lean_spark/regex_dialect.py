@@ -168,8 +168,12 @@ def to_java_regex(pattern: str) -> Optional[str]:
                 out.append("{0,%s}" % m.group(1))   # Java reads {,n} literally
                 i += m.end()
                 continue
-            out.append(c)
-            i += 1
+            if re.match(r"\{\d+(,\d*)?\}", pattern[i:]):
+                out.append(c)                       # real quantifier: copy
+                i += 1
+                continue
+            out.append("\\{")                       # literal '{' in Python;
+            i += 1                                  # Java throws on bare '{'
             continue
         out.append(c)
         i += 1

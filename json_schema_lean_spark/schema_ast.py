@@ -266,14 +266,16 @@ def _parse_items(j: dict) -> tuple[Optional[ItemsSchema], Optional["Schema"]]:
     explicit ``additionalItems`` also exists."""
     pv = j.get("prefixItems", ABSENT)
     v = j.get("items", ABSENT)
+    if v is not ABSENT and isinstance(v, list):
+        # draft-7 tuple-form items wins outright (prefixItems is then an
+        # ignored unknown keyword, preserving draft-7 behavior)
+        return ItemsSchema(tuple_items=[parse_schema(s) for s in v]), None
     if pv is not ABSENT and isinstance(pv, list):
         tup = ItemsSchema(tuple_items=[parse_schema(s) for s in pv])
-        if v is not ABSENT and not isinstance(v, list):
+        if v is not ABSENT:          # single-form items = rest-schema
             return tup, parse_schema(v)
         return tup, None
     if v is not ABSENT:
-        if isinstance(v, list):
-            return ItemsSchema(tuple_items=[parse_schema(s) for s in v]), None
         return ItemsSchema(single=parse_schema(v)), None
     return None, None
 

@@ -162,6 +162,8 @@ class VariantCompiler:
         self.child_columns = child_columns
         self.schema: Schema = parse_schema(schema_json)
         self.root_uri = uri
+        self._schema_json = schema_json
+        self._registry = registry
         self.resolver = Resolver()
         self.resolver.add_schema(schema_json, uri)
         if registry:
@@ -438,15 +440,13 @@ class VariantCompiler:
                         pn_viols_from(lambda v: F.map_keys(_vmap(v))))
             else:
                 # names are plain strings: reuse the static compiler's
-                # StringType lowering with the SAME resolver context
+                # StringType lowering with the SAME resolver context (a real
+                # constructor call — hand-seeding attributes via __new__
+                # breaks whenever the compiler grows a field)
                 from .compiler import ColumnarCompiler
-                cc = ColumnarCompiler.__new__(ColumnarCompiler)
-                cc.resolver = self.resolver
-                cc.root_uri = self.root_uri
-                cc._schema_json = None
-                cc._registry = None
-                cc.schema = self.schema
-                name_low = cc._lower(pn, StringType(), base_uri, depth + 1)
+                cc = ColumnarCompiler(self._schema_json, uri=self.root_uri,
+                                      registry=self._registry)
+                name_low = cc.lower_node(pn, StringType(), base_uri=base_uri)
                 add(gated(lambda v, lo=name_low: F.forall(
                         F.map_keys(_vmap(v)),
                         lambda k: F.coalesce(lo.valid(k), F.lit(False)))),
@@ -727,10 +727,16 @@ def validate_json_column_variant(df, json_col: str, schema_json: Any,
     # output is a real attribute; the parse then runs exactly once per row
     # (array always has 1 element, so no rows are added or dropped).
     tmp = "_jsl_variant"
-    while tmp in df.columns:
+    while tmp in df.columns or tmp + "_kids" in df.columns:
         tmp += "_"
     base = df.select("*", F.explode(F.array(F.try_parse_json(raw))).alias(tmp))
     v = F.col(tmp)
+
+    # match the Arrow path's withColumns contract: pre-existing valid /
+    # violations columns are REPLACED, not duplicated
+    out_cols = [c for c in df.columns
+                if c not in ("valid",) + (() if verdict_only
+                                          else ("violations",))]
 
     # second barrier: pre-navigate the ROOT object's property/required
     # children once per row (each `$.k` navigation otherwise re-walks the
@@ -762,10 +768,10 @@ def validate_json_column_variant(df, json_col: str, schema_json: Any,
               .when(v.isNull(), F.lit(False))
               .otherwise(ok))
     if verdict_only:
-        return base.select(*df.columns, valid.alias("valid"))
+        return base.select(*out_cols, valid.alias("valid"))
     viols = (F.when(raw.isNull(), F.lit(None).cast(VIOLATION_SCHEMA))
               .when(v.isNull(), F.array(_viol("$parse", F.lit(""), "invalid JSON")))
               .when(ok, F.array().cast(VIOLATION_SCHEMA))
               .otherwise(low.violations(v, F.lit(""))))
-    return base.select(*df.columns, valid.alias("valid"),
+    return base.select(*out_cols, valid.alias("valid"),
                        viols.alias("violations"))
