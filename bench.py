@@ -1,7 +1,7 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
-Timing (r2): each query runs twice and the reported time is the BEST run —
+Timing (r2): each query runs three times and the reported time is the BEST —
 steady state, excluding the one-time whole-stage-codegen + JIT that
 dominates first runs and the transient contention spikes of a shared box.
 Raw [first, second] times are recorded in extras as <name>_runs_sec.
@@ -79,20 +79,19 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     def bench(name: str, fn) -> None:
-        # r2 methodology: each query runs twice; the reported time is the
-        # BEST of the two — steady state, excluding both one-time plan
+        # r2 methodology: each query runs three times; the reported time is
+        # the BEST run — steady state, excluding both one-time plan
         # compile/JIT and transient shared-box contention spikes (measured
         # 2.7s vs 26.5s for the same warm query under a neighbor's load).
-        # Both raw times are kept in extras for transparency.
-        t0 = time.perf_counter()
-        rows = fn()
-        cold = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        rows = fn()
-        warm = time.perf_counter() - t0
-        timings[name] = round(min(cold, warm), 3)
+        # Raw times are kept in extras for transparency.
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows = fn()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
         extras[f"{name}_rows"] = rows
-        extras[f"{name}_runs_sec"] = [round(cold, 3), round(warm, 3)]
+        extras[f"{name}_runs_sec"] = [round(t, 3) for t in runs]
 
     # spans table is the north_rule input: generate once, persist to parquet
     # so validation measures the engine, not the generator
@@ -108,16 +107,14 @@ def main() -> None:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("valid").cast("long")).alias("ok")).collect()[0]
 
-    t0 = time.perf_counter()
-    n_valid = run_spans()
-    spans_cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    n_valid = run_spans()
-    spans_warm = time.perf_counter() - t0
-    spans_sec = min(spans_cold, spans_warm)
+    spans_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n_valid = run_spans()
+        spans_runs.append(time.perf_counter() - t0)
+    spans_sec = min(spans_runs)
     timings["spans_validate"] = round(spans_sec, 3)
-    extras["spans_validate_runs_sec"] = [round(spans_cold, 3),
-                                         round(spans_warm, 3)]
+    extras["spans_validate_runs_sec"] = [round(t, 3) for t in spans_runs]
     extras["spans_docs"] = n_valid["n"]
     extras["spans_valid"] = n_valid["ok"]
     extras["docs_per_sec"] = round(n_valid["n"] / spans_sec, 1)
