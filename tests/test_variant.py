@@ -233,7 +233,8 @@ def _gen_schema(rng, depth=0):
         return rng.choice([{"minLength": rng.randint(0, 3)},
                            {"maxLength": rng.randint(0, 3)}])
     if kind == "pattern":
-        return {"pattern": rng.choice(["^a", "b$", "a.c", "^[ab]+$", "\\d"])}
+        return {"pattern": rng.choice(["^a", "b$", "a.c", "^[ab]+$", "\\d",
+                                       "a{", "x{1,2}", "[a&&b]"])}
     if kind == "object":
         props = {k: _gen_schema(rng, depth + 1)
                  for k in rng.sample(["p", "q", "r"], rng.randint(1, 2))}
