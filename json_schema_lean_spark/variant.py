@@ -25,14 +25,31 @@ Reference parity: same keyword semantics as the interpreter
 search, 1.0-is-integer (finite, zero fraction), numeric-tolerant const/enum,
 $ref overrides siblings, type-guard pass on absent values.
 
-Outside the lowerable subset (uniqueItems deep-equality, const/enum of
-arrays/objects, $ref recursion deeper than MAX_VARIANT_DEPTH — the variant
-path has no DataType to bound recursion, so recursive schemas fall back)
-raises CompileFallback; callers route to the Arrow interpreter.
+Deep equality (uniqueItems / const / enum of arrays+objects) lowers to an
+injective CANONICAL STRING per value (``_canon``): bencode-style tags with
+length-prefixed strings (no escaping), numbers through one double cast
+(numeric-tolerant like the reference's Float equality,
+/root/reference/JsonSchema/Validation.lean:17-33), object entries sorted by
+key (the reference's object equality is key-set based). Canonicalization is
+depth-bounded; a uniqueItems array nesting past the bound raises a loud
+runtime error (never a wrong verdict), while const/enum use the literal's
+exact depth so deeper instances simply compare not-equal.
+
+Recursive ``$ref``s unroll: each resolved ref target may repeat up to
+MAX_VARIANT_DEPTH times along one inline chain; past that the leaf raises a
+loud runtime error if (and only if) an instance actually nests that deep —
+matching the interpreter's fuel semantics (error, not a verdict) at a lower
+bound. Acyclic-but-too-branchy ref graphs exhaust the node budget and fall
+back.
+
+The only remaining CompileFallback routes to the Arrow interpreter: evil
+$ref cycles (rejected at compile time, like the columnar path), non-Java
+regex dialect, node-budget exhaustion.
 """
 
 from __future__ import annotations
 
+import json
 import re
 from functools import reduce
 from typing import Any, Callable, Optional
@@ -53,9 +70,18 @@ from .compiler import (
 from .resolver import DEFAULT_URI, Resolver, find_ref_cycle, resolve_uri
 from .schema_ast import ABSENT, Schema, SchemaObject, parse_schema
 
-#: variant lowering has no DataType to bound $ref recursion; past this depth
-#: the schema is treated as recursive and routed to the Arrow interpreter
+#: max unrolls of any single $ref target along one inline chain — supports
+#: instances of the recursive structure up to this deep; past it the leaf
+#: raises a loud runtime error (only when an instance actually reaches it)
 MAX_VARIANT_DEPTH = 24
+
+#: max nesting depth the deep-equality canonicalizer handles for uniqueItems
+#: (const/enum use the literal's exact depth instead)
+MAX_CANON_DEPTH = 24
+
+#: total _lower() calls before giving up on a branching recursive schema
+#: (e.g. mutually recursive refs that double per level: 2^24 nodes)
+NODE_BUDGET = 30_000
 
 _NUM_TYPES = ("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT")
 
@@ -144,6 +170,152 @@ def _child(v: Column, name: str) -> Column:
     return F.element_at(_vmap(v), name)
 
 
+# ---------------------------------------------------------------------------
+# Deep equality via canonical strings (uniqueItems / const / enum)
+# ---------------------------------------------------------------------------
+
+def _let(expr: Column, fn: Callable[[Column], Column]) -> Column:
+    """Let-binding inside an expression: evaluate `expr` ONCE, pass it to
+    `fn` as a lambda variable. Catalyst has no common-subexpression reuse
+    for interpreted projections, but a higher-order function evaluates its
+    array argument once and binds elements as real attributes."""
+    return F.get(F.transform(F.array(expr), fn), 0)
+
+
+def _entry_key_cmp(a: Column, b: Column) -> Column:
+    # compare map entries by key only — variant values are not orderable
+    return (F.when(a.getField("key") < b.getField("key"), F.lit(-1))
+             .when(a.getField("key") > b.getField("key"), F.lit(1))
+             .otherwise(F.lit(0)))
+
+
+def _canon(v: Column, depth: int) -> Column:
+    """Injective canonical string of a variant value under the reference's
+    jsonSchemaEq (/root/reference/JsonSchema/Validation.lean:17-33): numbers
+    compare as Float (1 == 1.0 == -0.0), arrays ordered, objects by key-set.
+
+    Bencode-style, so no escaping is ever needed:
+
+    - null  -> ``z``;  bool -> ``b0`` / ``b1``
+    - number -> ``n<double-cast-string>e`` (one double cast; ``+ 0.0``
+      folds -0.0 into 0.0; Java's uppercase ``E`` exponent never collides
+      with the lowercase ``e`` terminator)
+    - string -> ``s<codepoint-len>:<str>`` (length prefix delimits)
+    - array  -> ``l<child canons>e``; object -> ``d(<key as s-string>
+      <child canon>)*e`` with entries sorted by key
+
+    Containers nested deeper than `depth` canonicalize to SQL NULL, and a
+    NULL child POISONS the whole container canon (folded with concat, not
+    concat_ws/array_join, which silently skip NULLs) — callers must treat
+    NULL as not-canonicalizable, never as a value."""
+    return _let(_ts(v), lambda ts: _canon_node(v, ts, depth))
+
+
+def _canon_node(v: Column, ts: Column, depth: int) -> Column:
+    out = (F.when(ts == "VOID", F.lit("z"))
+            .when(ts == "BOOLEAN",
+                  F.when(_bval(v), F.lit("b1")).otherwise(F.lit("b0")))
+            .when(ts == "STRING",
+                  F.concat(F.lit("s"), F.length(_sval(v)).cast("string"),
+                           F.lit(":"), _sval(v)))
+            .when(_ts_is_num(ts),
+                  F.concat(F.lit("n"), (_dval(v) + 0.0).cast("string"),
+                           F.lit("e"))))
+    if depth <= 0:
+        return out  # containers fall through every branch -> SQL NULL
+    kids = (F.when(ts.startswith("ARRAY"),
+                   F.transform(_varr(v), lambda e: F.struct(
+                       F.lit("").alias("key"), e.alias("value"))))
+             .when(ts.startswith("OBJECT"),
+                   F.array_sort(F.map_entries(_vmap(v)), _entry_key_cmp)))
+    kid_canons = F.transform(kids, lambda kv: F.concat(
+        F.lit("s"),
+        F.length(kv.getField("key")).cast("string"), F.lit(":"),
+        kv.getField("key"),
+        _canon(kv.getField("value"), depth - 1)))
+    body = F.aggregate(kid_canons, F.lit(""),
+                       lambda acc, x: F.concat(acc, x))
+    tag = F.when(ts.startswith("ARRAY"), F.lit("l")).otherwise(F.lit("d"))
+    return out.when(ts.startswith("ARRAY") | ts.startswith("OBJECT"),
+                    F.concat(tag, body, F.lit("e")))
+
+
+def _ts_is_num(ts: Column) -> Column:
+    return ts.rlike("^(BIGINT$|INT$|SMALLINT$|TINYINT$|DOUBLE$|FLOAT$|DECIMAL)")
+
+
+def _too_deep_leaf(ref_key: str) -> Lowered:
+    """Leaf emitted past MAX_VARIANT_DEPTH unrolls of a recursive $ref.
+    Raises a loud runtime error if — and only if — an instance actually
+    nests that deep (absent values pass like every keyword; CASE WHEN
+    branches evaluate lazily, so shallow instances never touch it).
+    Mirrors the interpreter's fuel semantics (error, not a verdict) at a
+    lower bound."""
+    msg = (f"variant path unrolled $ref {ref_key!r} {MAX_VARIANT_DEPTH} "
+           "times; instances nesting deeper must validate via the Arrow "
+           "interpreter (prefer_variant=False)")
+
+    def valid(v: Column) -> Column:
+        return F.when(v.isNull(), F.lit(True)) \
+                .otherwise(F.raise_error(F.lit(msg)).cast("boolean"))
+
+    def violations(v: Column, p: Column) -> Column:
+        return F.when(v.isNull(), F.array().cast(VIOLATION_SCHEMA)) \
+                .otherwise(F.raise_error(F.lit(msg)).cast(VIOLATION_SCHEMA))
+
+    return Lowered(valid=valid, violations=violations)
+
+
+def _py_depth(value: Any) -> int:
+    if isinstance(value, dict):
+        return 1 + max((_py_depth(x) for x in value.values()), default=0)
+    if isinstance(value, (list, tuple)):
+        return 1 + max((_py_depth(x) for x in value), default=0)
+    return 0
+
+
+_CANON_LIT_CACHE: dict[str, str] = {}
+
+
+def _ensure_analyzer_budget(min_iters: int = 1000) -> None:
+    """Nested HOF lambdas resolve one level per analyzer Resolution pass, so
+    a depth-24 canonicalizer (± the schema's own nesting) overruns Spark's
+    default 100-iteration cap. The cap is a plain runtime SQLConf — raise it
+    on the active session before emitting deep canon expressions."""
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return
+    key = "spark.sql.analyzer.maxIterations"
+    try:
+        cur = int(spark.conf.get(key, "100"))
+        if cur < min_iters:
+            spark.conf.set(key, str(min_iters))
+    except Exception:  # pragma: no cover - read-only conf managers
+        pass
+
+
+def _canon_literal(value: Any) -> Column:
+    """Canonical string of a Python JSON literal, computed through the SAME
+    Spark expressions as the instance side — so the number formatting is
+    Java's Double.toString by construction, not a Python reimplementation.
+    Driver-folded once per distinct value (tiny local job, module-cached);
+    without an active session the expression is left inline (same semantics,
+    evaluated per row on a constant input)."""
+    key = _cjson(value)
+    cached = _CANON_LIT_CACHE.get(key)
+    if cached is None:
+        from pyspark.sql import SparkSession
+        expr = _canon(F.try_parse_json(F.lit(json.dumps(value))),
+                      _py_depth(value))
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return expr
+        [row] = spark.range(1).select(expr.alias("c")).collect()
+        cached = _CANON_LIT_CACHE.setdefault(key, row["c"])
+    return F.lit(cached)
+
+
 class VariantCompiler:
     """Compile a schema once (driver) into variant-expression predicates."""
 
@@ -170,18 +342,29 @@ class VariantCompiler:
             for reg_uri, reg_schema in registry.items():
                 self.resolver.add_schema(reg_schema, reg_uri)
         if find_ref_cycle(self.resolver) is not None:
-            # evil cycles can't inline; benign ones (through properties/items)
-            # hit MAX_VARIANT_DEPTH below — either way: Arrow path
+            # evil cycles (ref->ref through combinators only) never consume
+            # instance depth, so unrolling can't bound them — Arrow path,
+            # whose fuel semantics match the reference's "Stack overflow"
             raise CompileFallback("cyclic schema not lowerable to variant ops")
+        self._nodes = 0
+        _ensure_analyzer_budget()
 
     def lower(self) -> Lowered:
-        return self._lower(self.schema, self.root_uri, 0)
+        return self._lower(self.schema, self.root_uri, ())
 
     # ------------------------------------------------------------------
 
-    def _lower(self, schema: Schema, base_uri: str, depth: int) -> Lowered:
-        if depth > MAX_VARIANT_DEPTH:
-            raise CompileFallback("variant inline depth exceeded (recursive schema)")
+    def _lower(self, schema: Schema, base_uri: str,
+               chain: tuple[str, ...]) -> Lowered:
+        # `chain` is the stack of resolved $ref targets along this inline
+        # path: a target repeating means we are unrolling a benign cycle
+        # (one unroll per instance-nesting level); an acyclic chain never
+        # repeats, however long
+        self._nodes += 1
+        if self._nodes > NODE_BUDGET:
+            raise CompileFallback(
+                "variant lowering node budget exceeded (branching recursive "
+                "schema)")
         if isinstance(schema, bool):
             if schema:
                 return _LOWERED_TRUE
@@ -204,7 +387,10 @@ class VariantCompiler:
                         _viol("$ref", p, f"Could not find {target!r}")),
                 )
             sub, new_uri = got
-            return self._lower(sub, new_uri, depth + 1)
+            key = f"{root}#{'/'.join(subpath)}"
+            if chain.count(key) >= MAX_VARIANT_DEPTH:
+                return _too_deep_leaf(key)
+            return self._lower(sub, new_uri, chain + (key,))
 
         if s.id is not None:
             base_uri = resolve_uri(base_uri, s.id)
@@ -225,9 +411,9 @@ class VariantCompiler:
         self._lower_const_enum(s, add_simple)
         self._lower_string(s, add_simple)
         self._lower_numeric(s, add_simple)
-        self._lower_object(s, base_uri, depth, add, add_simple)
-        self._lower_array(s, base_uri, depth, add, add_simple)
-        self._lower_combinators(s, base_uri, depth, add)
+        self._lower_object(s, base_uri, chain, add, add_simple)
+        self._lower_array(s, base_uri, chain, add, add_simple)
+        self._lower_combinators(s, base_uri, chain, add)
 
         if not valid_parts:
             return _LOWERED_TRUE
@@ -284,20 +470,18 @@ class VariantCompiler:
             return _is_num(v) & (_dval(v) == float(value))
         if isinstance(value, str):
             return (_ts(v) == "STRING") & (_sval(v) == value)
-        raise CompileFallback("const/enum of array/object values")
+        # array/object literal: canonical-string deep equality. Depth is the
+        # literal's EXACT depth, so an instance nesting deeper canonicalizes
+        # to NULL -> not equal (correct: it can't equal a shallower literal).
+        return _canon(v, _py_depth(value)) == _canon_literal(value)
 
     def _lower_const_enum(self, s: SchemaObject, add_simple) -> None:
         if s.const is not ABSENT:
             cval = s.const
-            if isinstance(cval, (list, dict)):
-                raise CompileFallback("const of array/object values")
             add_simple(lambda v, cv=cval: self._scalar_eq(v, cv),
                        "const", f"expected {_cjson(cval)}")
         if s.enum is not None:
             vals = list(s.enum)
-            for val in vals:
-                if isinstance(val, (list, dict)):
-                    raise CompileFallback("enum of array/object values")
             if not vals:
                 add_simple(lambda v: F.lit(False), "enum", "not in enum")
             else:
@@ -357,7 +541,8 @@ class VariantCompiler:
 
     # ---- objects ---------------------------------------------------------
 
-    def _lower_object(self, s: SchemaObject, base_uri: str, depth: int,
+    def _lower_object(self, s: SchemaObject, base_uri: str,
+                      chain: tuple[str, ...],
                       add, add_simple) -> None:
         has_obj_kw = any([
             s.required, s.properties, s.pattern_properties,
@@ -375,10 +560,15 @@ class VariantCompiler:
             # object keywords pass on non-objects (type-guard)
             return lambda v: F.when(is_obj(v), pred_fn(v)).otherwise(F.lit(True))
 
+        is_root = s is self.schema and not chain
+
         def child(v: Column, k: str) -> Column:
             # root-level children may be pre-projected behind the second
-            # Generate barrier (attribute read instead of variant re-walk)
-            if depth == 0 and self.child_columns and k in self.child_columns:
+            # Generate barrier (attribute read instead of variant re-walk).
+            # Only for the root node reached structurally: the pre-projected
+            # columns navigate the ROOT variant, so a ref back to the root
+            # schema (chain non-empty) must re-navigate from its own v.
+            if is_root and self.child_columns and k in self.child_columns:
                 return self.child_columns[k]
             return _child(v, k)
 
@@ -402,7 +592,7 @@ class VariantCompiler:
 
         if s.properties:
             for name, sub in s.properties:
-                low = self._lower(sub, base_uri, depth + 1)
+                low = self._lower(sub, base_uri, chain)
                 tok = _ptr_token(name)
 
                 # child is SQL NULL iff absent (or non-object) — the
@@ -478,7 +668,7 @@ class VariantCompiler:
 
         if s.pattern_properties:
             for (pat, sub), jpat in zip(s.pattern_properties, pattern_res):
-                low = self._lower(sub, base_uri, depth + 1)
+                low = self._lower(sub, base_uri, chain)
 
                 def matched_fn(v: Column, p=jpat) -> Column:
                     return F.filter(
@@ -526,7 +716,7 @@ class VariantCompiler:
                             .otherwise(F.lit(True))),
                         ap_viols)
             else:
-                low = self._lower(s.additional_properties, base_uri, depth + 1)
+                low = self._lower(s.additional_properties, base_uri, chain)
                 add(gated(lambda v, lo=low: F.forall(
                         extra_entries(v),
                         lambda kv: F.coalesce(lo.valid(kv.getField("value")),
@@ -544,7 +734,7 @@ class VariantCompiler:
                         if r else F.lit(True)).otherwise(F.lit(True))),
                         "dependencies", f"{key!r} requires {dep.required_props}")
                 if dep.schema is not None:
-                    low = self._lower(dep.schema, base_uri, depth + 1)
+                    low = self._lower(dep.schema, base_uri, chain)
 
                     def v_fn(v: Column, lo=low, k=key) -> Column:
                         return F.when(
@@ -562,7 +752,8 @@ class VariantCompiler:
 
     # ---- arrays ------------------------------------------------------------
 
-    def _lower_array(self, s: SchemaObject, base_uri: str, depth: int,
+    def _lower_array(self, s: SchemaObject, base_uri: str,
+                     chain: tuple[str, ...],
                      add, add_simple) -> None:
         has_arr_kw = any([
             s.items is not None, s.additional_items is not None,
@@ -571,17 +762,34 @@ class VariantCompiler:
         ])
         if not has_arr_kw:
             return
-        if s.unique_items:
-            # deep equality over heterogeneous variants isn't expressible
-            # as array_distinct (variant has no defined Column equality)
-            raise CompileFallback("uniqueItems on the variant path")
-
         def is_arr(v: Column) -> Column:
             return _ts(v).startswith("ARRAY")
 
         def gated(pred_fn):
             return lambda v: F.when(is_arr(v), pred_fn(_varr(v))) \
                               .otherwise(F.lit(True))
+
+        if s.unique_items:
+            # variant has no Column equality, so dedup by injective
+            # canonical strings instead: unique iff array_distinct keeps
+            # every canon. A NULL canon means an element nests past
+            # MAX_CANON_DEPTH — raise loudly (lazy CASE branch: shallow
+            # arrays never evaluate it) rather than ever mis-verdict.
+            deep_msg = ("uniqueItems: array element nests deeper than "
+                        f"{MAX_CANON_DEPTH} levels; the variant path cannot "
+                        "canonicalize it — validate via the Arrow "
+                        "interpreter (prefer_variant=False)")
+
+            def uniq(arr: Column) -> Column:
+                return _let(
+                    F.transform(arr, lambda e: _canon(e, MAX_CANON_DEPTH)),
+                    lambda canons: F.when(
+                        F.exists(canons, lambda c: c.isNull()),
+                        F.raise_error(F.lit(deep_msg)).cast("boolean"))
+                    .otherwise(F.size(F.array_distinct(canons))
+                               == F.size(canons)))
+
+            add_simple(gated(uniq), "uniqueItems", "array items are not unique")
 
         if s.max_items is not None:
             m = s.max_items
@@ -591,7 +799,7 @@ class VariantCompiler:
             add_simple(gated(lambda a, m=m: F.size(a) >= m), "minItems", f"< {m}")
 
         if s.items is not None and not s.items.is_tuple:
-            low = self._lower(s.items.single, base_uri, depth + 1)
+            low = self._lower(s.items.single, base_uri, chain)
             add(lambda v, lo=low: F.when(~is_arr(v), F.lit(True))
                 .otherwise(F.forall(_varr(v), lambda e: F.coalesce(
                     lo.valid(e), F.lit(False)))),
@@ -602,7 +810,7 @@ class VariantCompiler:
                         e, F.concat(p, F.lit("/"), i.cast("string")))))))
         elif s.items is not None and s.items.is_tuple:
             for i, sub in enumerate(s.items.tuple_items):
-                low = self._lower(sub, base_uri, depth + 1)
+                low = self._lower(sub, base_uri, chain)
                 add(lambda v, lo=low, i=i: F.when(
                         ~is_arr(v) | (F.size(_varr(v)) <= i), F.lit(True))
                     .otherwise(F.coalesce(lo.valid(F.get(_varr(v), i)),
@@ -614,7 +822,7 @@ class VariantCompiler:
                                              F.concat(p, F.lit(f"/{i}")))))
             if s.additional_items is not None:
                 k = len(s.items.tuple_items)
-                low = self._lower(s.additional_items, base_uri, depth + 1)
+                low = self._lower(s.additional_items, base_uri, chain)
                 add(lambda v, lo=low, k=k: F.when(~is_arr(v), F.lit(True))
                     .otherwise(F.forall(
                         F.slice(_varr(v), k + 1,
@@ -629,7 +837,7 @@ class VariantCompiler:
                             e, F.concat(p, F.lit("/"), (i + k).cast("string")))))))
 
         if s.contains is not None:
-            low = self._lower(s.contains, base_uri, depth + 1)
+            low = self._lower(s.contains, base_uri, chain)
             lo_n = s.min_contains if s.min_contains is not None else 1
             hi_n = s.max_contains
             if lo_n == 1 and hi_n is None:
@@ -653,14 +861,15 @@ class VariantCompiler:
 
     # ---- combinators ---------------------------------------------------------
 
-    def _lower_combinators(self, s: SchemaObject, base_uri: str, depth: int,
+    def _lower_combinators(self, s: SchemaObject, base_uri: str,
+                           chain: tuple[str, ...],
                            add) -> None:
         if s.all_of is not None:
             for sub in s.all_of:
-                low = self._lower(sub, base_uri, depth + 1)
+                low = self._lower(sub, base_uri, chain)
                 add(low.valid, low.violations)
         if s.any_of is not None:
-            lows = [self._lower(sub, base_uri, depth + 1) for sub in s.any_of]
+            lows = [self._lower(sub, base_uri, chain) for sub in s.any_of]
 
             def v_fn(v: Column, ls=lows) -> Column:
                 if not ls:
@@ -671,7 +880,7 @@ class VariantCompiler:
                 vf(v), F.array().cast(VIOLATION_SCHEMA))
                 .otherwise(F.array(_viol("anyOf", p, "no branch matched"))))
         if s.one_of is not None:
-            lows = [self._lower(sub, base_uri, depth + 1) for sub in s.one_of]
+            lows = [self._lower(sub, base_uri, chain) for sub in s.one_of]
 
             def v1_fn(v: Column, ls=lows) -> Column:
                 if not ls:
@@ -683,7 +892,7 @@ class VariantCompiler:
                 vf(v), F.array().cast(VIOLATION_SCHEMA))
                 .otherwise(F.array(_viol("oneOf", p, "matched != 1 branches"))))
         if s.not_ is not None:
-            low = self._lower(s.not_, base_uri, depth + 1)
+            low = self._lower(s.not_, base_uri, chain)
 
             def vn_fn(v: Column, lo=low) -> Column:
                 return ~F.coalesce(lo.valid(v), F.lit(False))
@@ -691,10 +900,10 @@ class VariantCompiler:
                 vf(v), F.array().cast(VIOLATION_SCHEMA))
                 .otherwise(F.array(_viol("not", p, "schema matched but must not"))))
         if s.if_ is not None:
-            if_low = self._lower(s.if_, base_uri, depth + 1)
-            then_low = self._lower(s.then_, base_uri, depth + 1) \
+            if_low = self._lower(s.if_, base_uri, chain)
+            then_low = self._lower(s.then_, base_uri, chain) \
                 if s.then_ is not None else _LOWERED_TRUE
-            else_low = self._lower(s.else_, base_uri, depth + 1) \
+            else_low = self._lower(s.else_, base_uri, chain) \
                 if s.else_ is not None else _LOWERED_TRUE
             add(lambda v: F.when(F.coalesce(if_low.valid(v), F.lit(False)),
                                  then_low.valid(v)).otherwise(else_low.valid(v)),

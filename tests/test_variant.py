@@ -154,7 +154,10 @@ def test_tricky_cases_match_interpreter(spark):
     assert not bad, bad
 
 
-def test_fallback_cases_raise_not_misvalidate():
+def test_former_fallbacks_now_lower(spark):
+    """Round-3 route pin (VERDICT r2 #1/#7): uniqueItems, deep const/enum,
+    and benignly-recursive $refs all lower to variant expressions now —
+    no CompileFallback, so the zero-Python route stays the default."""
     for schema in [
         {"uniqueItems": True},
         {"const": [1, 2]},
@@ -162,8 +165,157 @@ def test_fallback_cases_raise_not_misvalidate():
         {"definitions": {"n": {"properties": {"next": {"$ref": "#/definitions/n"}}}},
          "properties": {"root": {"$ref": "#/definitions/n"}}},  # recursive
     ]:
+        VariantCompiler(schema).lower()  # must not raise
+
+
+def test_fallback_cases_raise_not_misvalidate():
+    """What still legitimately falls back to the Arrow interpreter: evil
+    $ref cycles (no instance depth consumed — unrolling can't bound them)
+    and regex outside the Java-transpilable dialect."""
+    for schema in [
+        {"$ref": "#"},                                   # evil self-cycle
+        {"definitions": {"a": {"$ref": "#/definitions/b"},
+                         "b": {"$ref": "#/definitions/a"}},
+         "allOf": [{"$ref": "#/definitions/a"}]},        # evil mutual cycle
+        {"pattern": "\\w+"},                             # non-Java dialect
+    ]:
         with pytest.raises(CompileFallback):
             VariantCompiler(schema).lower()
+
+
+DEEP_EQ_CASES = [
+    ({"uniqueItems": True},
+     [[1, 2], [1, 1.0], [1, "1"], [], [[1], [1.0]],
+      [{"a": 1, "b": 2}, {"b": 2, "a": 1}],
+      [{"a": 1}, {"a": 2}], [None, None], [0.0, -0.0],
+      [[], {}], [True, 1], ["a", "a"], [[1, 2], [2, 1]],
+      [{"a": [1, {"z": "s"}]}, {"a": [1, {"z": "s"}]}],
+      [{"a": [1, {"z": "s"}]}, {"a": [1, {"z": "t"}]}],
+      ["ab", "a"], ["", ""], [{"": 1}, {"": 1.0}],
+      "notarray", 3, {"k": 1}]),
+    ({"uniqueItems": False}, [[1, 1]]),
+    ({"const": [1, 2]}, [[1, 2], [1.0, 2.0], [2, 1], [1, 2, 3], "x", [1, [2]]]),
+    ({"const": {"a": 1, "b": [True, None]}},
+     [{"b": [True, None], "a": 1.0}, {"a": 1, "b": [True]}, {"a": 1}, {}, [1]]),
+    ({"const": {}}, [{}, [], {"a": 1}]),
+    ({"const": []}, [[], {}, [1]]),
+    ({"enum": [[1], {"x": "y"}, "s", 2]},
+     [[1], [1.0], {"x": "y"}, {"x": "z"}, "s", 2, 2.0, [2]]),
+    ({"items": {"uniqueItems": True}},
+     [[[1, 2], [3, 3]], [[1, 2], [3, 4]]]),
+]
+
+
+def test_deep_equality_matches_interpreter(spark):
+    """Canonical-string deep equality (uniqueItems / deep const / deep enum)
+    reproduces the interpreter's jsonSchemaEq verdicts, including
+    numeric-tolerant nesting (1 == 1.0 inside arrays/objects), key-order
+    insensitivity, and -0.0 == 0.0."""
+    bad = []
+    for schema, instances in DEEP_EQ_CASES:
+        ref = CompiledValidator(schema)
+        low = VariantCompiler(schema).lower()
+        df = spark.createDataFrame(
+            [(i, json.dumps(inst)) for i, inst in enumerate(instances)],
+            "i int, inst string")
+        v = F.try_parse_json("inst")
+        got = {r["i"]: r["ok"] for r in df.select(
+            "i", F.coalesce(low.valid(v), F.lit(False)).alias("ok")).collect()}
+        bad += [(schema, inst, ref.is_valid(inst), got[i])
+                for i, inst in enumerate(instances)
+                if got[i] != ref.is_valid(inst)]
+    assert not bad, bad
+
+
+def _linked_list(n, broken_at=None):
+    out = {"v": "bad" if broken_at == 0 else 1}
+    cur = out
+    for i in range(1, n):
+        cur["next"] = {"v": "bad" if broken_at == i else i}
+        cur = cur["next"]
+    return {"root": out}
+
+
+RECURSIVE_SCHEMA = {
+    "definitions": {"n": {"type": "object", "required": ["v"],
+                          "properties": {"v": {"type": "integer"},
+                                         "next": {"$ref": "#/definitions/n"}}}},
+    "properties": {"root": {"$ref": "#/definitions/n"}}}
+
+
+def test_recursive_ref_unrolls_on_variant_path(spark):
+    """Benign $ref recursion validates instances up to MAX_VARIANT_DEPTH
+    nested levels with interpreter-identical verdicts."""
+    ref = CompiledValidator(RECURSIVE_SCHEMA)
+    low = VariantCompiler(RECURSIVE_SCHEMA).lower()
+    insts = [_linked_list(1), _linked_list(5), _linked_list(5, broken_at=3),
+             _linked_list(23), _linked_list(23, broken_at=22),
+             {"root": {"v": 1, "next": []}}, {}, {"root": "notanode"}]
+    df = spark.createDataFrame(
+        [(i, json.dumps(inst)) for i, inst in enumerate(insts)],
+        "i int, inst string")
+    v = F.try_parse_json("inst")
+    got = {r["i"]: r["ok"] for r in df.select(
+        "i", F.coalesce(low.valid(v), F.lit(False)).alias("ok")).collect()}
+    for i, inst in enumerate(insts):
+        assert got[i] == ref.is_valid(inst), (i, inst)
+
+
+def test_recursive_ref_too_deep_raises_loudly(spark):
+    """An instance nesting past the unroll bound raises a runtime error
+    naming the Arrow escape hatch — never a silent wrong verdict."""
+    low = VariantCompiler(RECURSIVE_SCHEMA).lower()
+    df = spark.createDataFrame(
+        [(json.dumps(_linked_list(30)),)], "inst string")
+    with pytest.raises(Exception, match="prefer_variant=False"):
+        df.select(F.coalesce(low.valid(F.try_parse_json("inst")),
+                             F.lit(False)).alias("ok")).collect()
+
+
+def test_uniqueitems_too_deep_raises_loudly(spark):
+    from json_schema_lean_spark.variant import MAX_CANON_DEPTH
+
+    def nest(n):
+        out = [1]
+        for _ in range(n):
+            out = [out]
+        return out
+
+    low = VariantCompiler({"uniqueItems": True}).lower()
+    shallow = json.dumps([nest(3), nest(4)])
+    deep = json.dumps([nest(MAX_CANON_DEPTH + 2)])
+    df = spark.createDataFrame([(shallow,)], "inst string")
+    ok = df.select(F.coalesce(low.valid(F.try_parse_json("inst")),
+                              F.lit(False)).alias("ok")).collect()
+    assert ok[0]["ok"] is True
+    df2 = spark.createDataFrame([(deep,)], "inst string")
+    with pytest.raises(Exception, match="prefer_variant=False"):
+        df2.select(F.coalesce(low.valid(F.try_parse_json("inst")),
+                              F.lit(False)).alias("ok")).collect()
+
+
+def test_official_deep_eq_suites_replay_via_variant():
+    """The suites the r2 verdict called out (uniqueItems, const, enum, ref)
+    must now be variant-lowerable end to end — pin their case ids into the
+    lowerable set so a regression re-introducing CompileFallback fails here,
+    not just in coverage counts."""
+    keep, _ = lowerable_cases()
+    kept_ids = {cid for cid, _, _ in keep}
+    for stem in ("uniqueItems", "const", "enum"):
+        f = FIXTURES / "suite_official" / "draft7" / f"{stem}.json"
+        n_cases = len(json.loads(f.read_text()))
+        missing = [f"{stem}/{ci}" for ci in range(n_cases)
+                   if f"{stem}/{ci}" not in kept_ids]
+        assert not missing, missing
+    # ref.json: the recursive cases specifically
+    refs = json.loads((FIXTURES / "suite_official" / "draft7" / "ref.json")
+                      .read_text())
+    rec_idx = [i for i, c in enumerate(refs)
+               if "recursive" in c["description"].lower()
+               or "root pointer" in c["description"].lower()]
+    assert rec_idx, "expected recursive cases in ref.json"
+    for i in rec_idx:
+        assert f"ref/{i}" in kept_ids, refs[i]["description"]
 
 
 def test_validate_json_column_routes_to_variant(spark):
@@ -181,6 +333,31 @@ def test_validate_json_column_routes_to_variant(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, marker
     # verdict parity with the Arrow interpreter path on the full table
+    arrow = validate_json_column(ev, "props", schema, prefer_variant=False)
+    a = {r["event_id"]: r["valid"] for r in out.select("event_id", "valid").collect()}
+    b = {r["event_id"]: r["valid"] for r in arrow.select("event_id", "valid").collect()}
+    assert a == b
+
+
+def test_deep_eq_schema_stays_zero_python(spark):
+    """A schema using uniqueItems + deep enum must still route through the
+    variant path with no Python nodes in the plan (the r2 verdict's top
+    item: no silent downgrade to the per-value Arrow interpreter)."""
+    import contextlib
+    import io
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    schema = {"type": "object",
+              "properties": {"tags": {"type": "array", "uniqueItems": True},
+                             "mode": {"enum": [["a"], {"m": 1}, "plain"]}}}
+    out = validate_json_column(ev, "props", schema)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+    # and it agrees with the Arrow interpreter on real data
     arrow = validate_json_column(ev, "props", schema, prefer_variant=False)
     a = {r["event_id"]: r["valid"] for r in out.select("event_id", "valid").collect()}
     b = {r["event_id"]: r["valid"] for r in arrow.select("event_id", "valid").collect()}
@@ -221,9 +398,12 @@ def _gen_schema(rng, depth=0):
              "array", ["string", "null"], ["integer", "boolean"]])}
     if kind == "enum":
         return {"enum": rng.sample(
-            [1, 2.5, "a", "b", True, False, None, 0, ""], rng.randint(1, 4))}
+            [1, 2.5, "a", "b", True, False, None, 0, "",
+             [1], [1, "a"], {"p": 1}, {"p": [True]}, [], {}], rng.randint(1, 4))}
     if kind == "const":
-        return {"const": rng.choice([1, 1.0, "x", True, None, 0.5])}
+        return {"const": rng.choice(
+            [1, 1.0, "x", True, None, 0.5,
+             [1, 2], {"p": 1.0}, [], {}, {"q": [None, "a"]}])}
     if kind == "range":
         lo = rng.randint(-3, 3)
         return rng.choice([{"minimum": lo}, {"maximum": lo},
@@ -255,6 +435,8 @@ def _gen_schema(rng, depth=0):
             out["minItems"] = rng.randint(0, 2)
         if rng.random() < 0.2:
             out["contains"] = _gen_schema(rng, depth + 1)
+        if rng.random() < 0.3:
+            out["uniqueItems"] = True
         return out
     if kind == "combo":
         n = rng.randint(1, 2)
