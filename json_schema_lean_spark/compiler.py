@@ -317,20 +317,21 @@ class ColumnarCompiler:
             if s.const is None:
                 add_eq(lambda c: F.lit(False), True, "const", msg)
             else:
-                lit = _literal_for(s.const, dtype)
-                if lit is None:
+                pred = _eq_pred(s.const, dtype)
+                if pred is None:
                     add_eq(lambda c: F.lit(False), False, "const", msg)
                 else:
-                    add_eq(lambda c, l=lit: c == l, False, "const", msg)
+                    add_eq(pred, False, "const", msg)
         if s.enum is not None:
             null_in_enum = any(v is None for v in s.enum)
-            lits = [_literal_for(v, dtype) for v in s.enum if v is not None]
-            lits = [l for l in lits if l is not None]
-            if not lits:
+            preds = [_eq_pred(v, dtype) for v in s.enum if v is not None]
+            preds = [p for p in preds if p is not None]
+            if not preds:
                 add_eq(lambda c: F.lit(False), null_in_enum, "enum", "not in enum")
             else:
-                add_eq(lambda c, ls=lits: reduce(lambda a, b: a | b,
-                                                 ((c == l) for l in ls)),
+                add_eq(lambda c, ps=preds: reduce(
+                    lambda a, b: a | b,
+                    (F.coalesce(p(c), F.lit(False)) for p in ps)),
                        null_in_enum, "enum", "not in enum")
 
     # ---- strings -----------------------------------------------------------
@@ -838,6 +839,8 @@ class ColumnarCompiler:
         if s.any_of is not None:
             lows = [self._lower(sub, dtype, base_uri, depth + 1, null_means) for sub in s.any_of]
             def v_fn(c: Column, ls=lows) -> Column:
+                if not ls:
+                    return F.lit(False)  # empty anyOf: no branch can match
                 return reduce(lambda a, b: a | b,
                               (F.coalesce(lo.valid(c), F.lit(False)) for lo in ls))
             add(v_fn, lambda c, p, v=v_fn: F.when(v(c), F.array().cast(VIOLATION_SCHEMA))
@@ -845,6 +848,8 @@ class ColumnarCompiler:
         if s.one_of is not None:
             lows = [self._lower(sub, dtype, base_uri, depth + 1, null_means) for sub in s.one_of]
             def v1_fn(c: Column, ls=lows) -> Column:
+                if not ls:
+                    return F.lit(False)  # empty oneOf: zero matches != 1
                 return reduce(lambda a, b: a + b,
                               (F.coalesce(lo.valid(c), F.lit(False)).cast("int")
                                for lo in ls)) == 1
@@ -893,8 +898,8 @@ def _static_type_names(dtype: DataType) -> set[str]:
 
 
 def _literal_for(value: Any, dtype: DataType) -> Optional[Column]:
-    """Literal for const/enum comparison, or None if the value can never
-    equal a (non-null) instance of this dtype."""
+    """Literal for SCALAR const/enum comparison, or None if the value can
+    never equal a (non-null) instance of this dtype."""
     if isinstance(value, bool):
         return F.lit(value) if isinstance(dtype, BooleanType) else None
     if isinstance(value, (int, float)):
@@ -904,7 +909,112 @@ def _literal_for(value: Any, dtype: DataType) -> Optional[Column]:
         return None
     if isinstance(value, str):
         return F.lit(value) if isinstance(dtype, StringType) else None
-    return None  # nested const/enum against shredded dtypes: fallback path
+    return None
+
+
+def _eq_pred(value: Any, dtype: DataType) -> Optional[Callable[[Column], Column]]:
+    """Predicate-builder for const/enum equality of `value` against a typed
+    column, per the reference's jsonSchemaEq
+    (/root/reference/JsonSchema/Validation.lean:17-33): numeric-tolerant
+    scalars, ordered arrays, key-set objects. Returns None when the value
+    can never equal ANY (non-null) instance of this dtype — callers emit a
+    constant-false check then.
+
+    Struct caveat (documented shredding ambiguity): a NULL struct field is
+    ABSENT, so a literal ``{"a": null}`` matches a struct row whose ``a`` is
+    NULL — the shredded representation cannot carry present-with-null."""
+    if isinstance(value, (dict, list)):
+        return _deep_eq_pred(value, dtype)
+    lit = _literal_for(value, dtype)
+    if lit is None:
+        return None
+    return lambda c, l=lit: c == l
+
+
+def _deep_eq_pred(value: Any, dtype: DataType) -> Optional[Callable[[Column], Column]]:
+    if isinstance(value, list):
+        if not isinstance(dtype, ArrayType):
+            return None
+        et = dtype.elementType
+        elem_preds: list[Optional[Callable[[Column], Column]]] = []
+        for v in value:
+            if v is None:
+                elem_preds.append(None)  # marker: element must be JSON null
+            else:
+                p = _eq_pred(v, et)
+                if p is None:
+                    return None
+                elem_preds.append(p)
+
+        def arr_ok(c: Column, ps=elem_preds, n=len(value)) -> Column:
+            parts = [c.isNotNull(), F.size(c) == n]
+            for i, p in enumerate(ps):
+                e = F.get(c, i)
+                if p is None:
+                    parts.append(e.isNull())  # array element NULL = JSON null
+                else:
+                    parts.append(e.isNotNull() & F.coalesce(p(e), F.lit(False)))
+            return reduce(lambda a, b: a & b, parts)
+        return arr_ok
+
+    if isinstance(value, dict):
+        if isinstance(dtype, MapType):
+            if not isinstance(dtype.keyType, StringType):
+                return None
+            vt = dtype.valueType
+            kv_preds: dict[str, Optional[Callable[[Column], Column]]] = {}
+            for k, v in value.items():
+                if v is None:
+                    kv_preds[k] = None  # present key, JSON-null value
+                else:
+                    p = _eq_pred(v, vt)
+                    if p is None:
+                        return None
+                    kv_preds[k] = p
+
+            def map_ok(c: Column, ps=kv_preds, n=len(value)) -> Column:
+                parts = [c.isNotNull(), F.size(c) == n]
+                for k, p in ps.items():
+                    has = F.map_contains_key(c, k)
+                    if p is None:
+                        parts.append(has & F.element_at(c, k).isNull())
+                    else:
+                        parts.append(has & F.coalesce(
+                            p(F.element_at(c, k)), F.lit(False)))
+                return reduce(lambda a, b: a & b, parts)
+            return map_ok
+
+        if not isinstance(dtype, StructType):
+            return None
+        field_type = {f.name: f.dataType for f in dtype.fields}
+        f_preds: dict[str, Optional[Callable[[Column], Column]]] = {}
+        for k, v in value.items():
+            if k not in field_type:
+                return None  # dtype can never carry key k
+            if v is None:
+                f_preds[k] = None  # shredding ambiguity: NULL field matches
+            else:
+                p = _eq_pred(v, field_type[k])
+                if p is None:
+                    return None
+                f_preds[k] = p
+        absent = [f.name for f in dtype.fields if f.name not in value]
+
+        def struct_ok(c: Column, ps=f_preds, ab=absent) -> Column:
+            parts = [c.isNotNull()]
+            for k, p in ps.items():
+                fld = c.getField(k)
+                if p is None:
+                    parts.append(fld.isNull())
+                else:
+                    parts.append(fld.isNotNull()
+                                 & F.coalesce(p(fld), F.lit(False)))
+            for k in ab:
+                parts.append(c.getField(k).isNull())  # key-set equality
+            return reduce(lambda a, b: a & b, parts)
+        return struct_ok
+
+    raise AssertionError("scalars route through _eq_pred")
 
 
 def _cjson(v: Any) -> str:
