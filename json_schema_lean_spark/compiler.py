@@ -122,6 +122,108 @@ def _cond_viol(col: Column, ok: Column, keyword: str, ptr: Column, msg: str) -> 
             .otherwise(F.array(_viol(keyword, ptr, msg)))
 
 
+def _viol_col(keyword: str, ptr: Column, msg: Column) -> Column:
+    """Violation struct with a RUNTIME message Column (reference style
+    embeds the offending value; evaluated lazily, only for failing rows)."""
+    return F.struct(
+        F.lit(keyword).alias("keyword"),
+        ptr.alias("json_pointer"),
+        msg.alias("message"),
+    )
+
+
+def _cond_viol_col(col: Column, ok: Column, keyword: str, ptr: Column,
+                   msg: Column) -> Column:
+    return F.when(_guard(col, ok), F.array().cast(VIOLATION_SCHEMA)) \
+            .otherwise(F.array(_viol_col(keyword, ptr, msg)))
+
+
+# ---------------------------------------------------------------------------
+# Lean Json.compress as a typed Column expression (reference-style messages)
+# ---------------------------------------------------------------------------
+
+def _json_quote(s: str) -> str:
+    return json.dumps(s, ensure_ascii=False)
+
+
+def lean_compress_typed(c: Column, dtype: DataType) -> Column:
+    """Runtime ``Json.compress`` of a typed column (lean_messages.py is the
+    Python/interpreter twin; keep renderings in sync):
+
+    - struct fields / map keys in sorted order (RBNode order), absent
+      (NULL) struct fields omitted;
+    - integral types render bare; fractional types keep a ``.0`` on
+      integral values (``format_string('%.1f')`` — matches the
+      interpreter's f"{v:.1f}") and Java's shortest form otherwise
+      (documented approximation: exotic magnitudes format as 1.0E20 where
+      Python says 1e+20);
+    - strings escape through Spark's JSON writer (same mandatory-escape
+      set as json.dumps(ensure_ascii=False));
+    - map keys escape backslash + quote only (runtime; control characters
+      in keys are out of scope — documented)."""
+    if isinstance(dtype, BooleanType):
+        return F.when(c, F.lit("true")).otherwise(F.lit("false"))
+    if isinstance(dtype, _INTEGRAL):
+        return c.cast("string")
+    if isinstance(dtype, _FRACTIONAL):
+        d = c.cast("double")
+        return F.when((d % 1.0) == 0.0, F.format_string("%.1f", d)) \
+                .otherwise(d.cast("string"))
+    if isinstance(dtype, StringType):
+        return F.regexp_extract(F.to_json(F.struct(c.alias("v"))),
+                                '^\\{"v":(.*)\\}$', 1)
+    if isinstance(dtype, ArrayType):
+        et = dtype.elementType
+        return F.concat(
+            F.lit("["),
+            F.array_join(F.transform(
+                c, lambda e: F.when(e.isNull(), F.lit("null"))
+                              .otherwise(lean_compress_typed(e, et))), ","),
+            F.lit("]"))
+    if isinstance(dtype, StructType):
+        parts = []
+        for f in sorted(dtype.fields, key=lambda f: f.name):
+            fld = c.getField(f.name)
+            parts.append(F.when(fld.isNotNull(), F.concat(
+                F.lit(_json_quote(f.name) + ":"),
+                lean_compress_typed(fld, f.dataType))))
+        if not parts:
+            return F.lit("{}")
+        return F.concat(F.lit("{"), F.concat_ws(",", *parts), F.lit("}"))
+    if isinstance(dtype, MapType):
+        entries = F.array_sort(
+            F.map_entries(c),
+            lambda a, b: F.when(a.getField("key") < b.getField("key"),
+                                F.lit(-1))
+                          .when(a.getField("key") > b.getField("key"),
+                                F.lit(1)).otherwise(F.lit(0)))
+        vt = dtype.valueType
+
+        def esc(k: Column) -> Column:
+            return F.regexp_replace(
+                F.regexp_replace(k, "\\\\", "\\\\\\\\"), '"', '\\\\"')
+        return F.concat(
+            F.lit("{"),
+            F.array_join(F.transform(entries, lambda kv: F.concat(
+                F.lit('"'), esc(kv.getField("key")), F.lit('":'),
+                F.when(kv.getField("value").isNull(), F.lit("null"))
+                 .otherwise(lean_compress_typed(kv.getField("value"), vt)))),
+                ","),
+            F.lit("}"))
+    return F.lit("null")  # NullType placeholder positions never hold values
+
+
+def lean_num_typed(c: Column, dtype: DataType) -> Column:
+    """Lean ``JsonNumber.toString``-ish rendering of a numeric column
+    (integral values bare from integral types, '.0'-suffixed from
+    fractional types — mirrors lean_messages.lean_num on Python values)."""
+    if isinstance(dtype, _INTEGRAL):
+        return c.cast("string")
+    d = c.cast("double")
+    return F.when((d % 1.0) == 0.0, F.format_string("%.1f", d)) \
+            .otherwise(d.cast("string"))
+
+
 def java_regex_safe(pattern: str) -> bool:
     """Regex-dialect classifier (SURVEY.md §4 item 2; hardened in r2): True
     iff the pattern transpiles to an EXACTLY-equivalent Java pattern
@@ -140,7 +242,12 @@ class ColumnarCompiler:
         schema_json: Any,
         uri: str = DEFAULT_URI,
         registry: Optional[dict[str, Any]] = None,
+        message_style: str = "structured",
     ) -> None:
+        #: "structured" (concise human messages) or "reference" (byte-parity
+        #: with the Lean reportError strings — the offending value is
+        #: compressed into the message at runtime, lean_compress_typed)
+        self.message_style = message_style
         self.schema: Schema = parse_schema(schema_json)
         self.root_uri = uri
         self._schema_json = schema_json
@@ -183,6 +290,33 @@ class ColumnarCompiler:
             return resolve_uri(self.root_uri, s.id)
         return self.root_uri
 
+    def _refb(self, keyword: str, dtype: DataType, count_fn=None,
+              prefix_key: Optional[str] = None, **ctx):
+        """Reference-style message builder (c -> Column) for add_simple's
+        `ref` parameter, or None outside reference mode. The static prefix
+        comes from lean_messages.ref_prefix; the runtime tail follows
+        lean_messages.REF_SHAPES."""
+        if self.message_style != "reference":
+            return None
+        from .lean_messages import REF_SHAPES, ref_prefix
+        pre = ref_prefix(prefix_key or keyword, **ctx)
+        shape = REF_SHAPES[keyword]
+        def compress(c: Column) -> Column:
+            # NULL only reaches a firing violation at null_means='null'
+            # positions, where it IS a JSON null
+            return F.coalesce(lean_compress_typed(c, dtype), F.lit("null"))
+        if shape == "value":
+            return lambda c: F.concat(F.lit(pre), compress(c))
+        if shape == "strlen":
+            return lambda c: F.concat(F.lit(pre), F.length(c).cast("string"))
+        if shape == "num":
+            return lambda c: F.concat(F.lit(pre + '"'),
+                                      lean_num_typed(c, dtype), F.lit('"'))
+        if shape == "count_value":
+            return lambda c: F.concat(F.lit(pre), count_fn(c).cast("string"),
+                                      F.lit(" "), compress(c))
+        return None  # pragma: no cover
+
     # ------------------------------------------------------------------
 
     def _lower(self, schema: Schema, dtype: DataType, base_uri: str, depth: int,
@@ -207,10 +341,12 @@ class ColumnarCompiler:
             got = self.resolver.get_schema_and_uri(root, subpath)
             if got is None:
                 # unresolvable ref: every instance fails (reference reports error)
+                rref = self._refb("$ref", dtype, base=root, path=subpath)
                 return Lowered(
                     valid=lambda c: F.lit(False),
                     violations=lambda c, p: F.array(
-                        _viol("$ref", p, f"Could not find {target!r}")),
+                        _viol_col("$ref", p, rref(c)) if rref is not None
+                        else _viol("$ref", p, f"Could not find {target!r}")),
                 )
             sub, new_uri = got
             return self._lower(sub, dtype, new_uri, depth + 1, null_means)
@@ -226,9 +362,18 @@ class ColumnarCompiler:
             valid_parts.append(valid_fn)
             viol_parts.append(viol_fn)
 
-        def add_simple(ok_fn: Callable[[Column], Column], keyword: str, msg: str) -> None:
-            add(lambda c, ok=ok_fn: _guard(c, ok(c)),
-                lambda c, p, ok=ok_fn, kw=keyword, m=msg: _cond_viol(c, ok(c), kw, p, m))
+        def add_simple(ok_fn: Callable[[Column], Column], keyword: str,
+                       msg: str, ref=None) -> None:
+            # `ref` (c -> Column) builds the reference-style runtime message;
+            # used only under message_style="reference". Keywords without a
+            # ref builder keep their structured message in both styles.
+            if self.message_style == "reference" and ref is not None:
+                add(lambda c, ok=ok_fn: _guard(c, ok(c)),
+                    lambda c, p, ok=ok_fn, kw=keyword, r=ref:
+                    _cond_viol_col(c, ok(c), kw, p, r(c)))
+            else:
+                add(lambda c, ok=ok_fn: _guard(c, ok(c)),
+                    lambda c, p, ok=ok_fn, kw=keyword, m=msg: _cond_viol(c, ok(c), kw, p, m))
 
         self._lower_type(s, dtype, add, add_simple, null_means)
         self._lower_const_enum(s, dtype, add, add_simple, null_means)
@@ -260,20 +405,23 @@ class ColumnarCompiler:
         static_names = _static_type_names(dtype)
         msg = f"expected one of {s.types}"
 
+        ref = self._refb("type", dtype, types=[str(t) for t in s.types])
+
         def add_typed(nonnull_ok, msg=msg):
             """Combine the non-null predicate with the position's null rule."""
             if json_null:
                 # a NULL here is JSON null: passes iff "null" is in types
-                add(lambda c, ok=nonnull_ok: F.when(
-                        c.isNull(), F.lit(null_ok))
-                    .otherwise(F.coalesce(ok(c), F.lit(False))),
-                    lambda c, p, ok=nonnull_ok: F.when(
-                        F.when(c.isNull(), F.lit(null_ok))
-                        .otherwise(F.coalesce(ok(c), F.lit(False))),
-                        F.array().cast(VIOLATION_SCHEMA))
-                    .otherwise(F.array(_viol("type", p, msg))))
+                def ok_all(c: Column, ok=nonnull_ok) -> Column:
+                    return F.when(c.isNull(), F.lit(null_ok)) \
+                            .otherwise(F.coalesce(ok(c), F.lit(False)))
+                add(ok_all,
+                    lambda c, p: F.when(ok_all(c),
+                                        F.array().cast(VIOLATION_SCHEMA))
+                    .otherwise(F.array(
+                        _viol_col("type", p, ref(c)) if ref is not None
+                        else _viol("type", p, msg))))
             else:
-                add_simple(nonnull_ok, "type", msg)
+                add_simple(nonnull_ok, "type", msg, ref=ref)
 
         if any(t in static_names for t in s.types):
             if json_null and not null_ok:
@@ -299,40 +447,46 @@ class ColumnarCompiler:
                           add_simple, null_means: str = "absent") -> None:
         json_null = null_means == "null"
 
-        def add_eq(nonnull_ok, null_matches: bool, keyword: str, msg: str):
+        def add_eq(nonnull_ok, null_matches: bool, keyword: str, msg: str,
+                   ref=None):
             if json_null:
-                add(lambda c, ok=nonnull_ok, nm=null_matches: F.when(
-                        c.isNull(), F.lit(nm))
-                    .otherwise(F.coalesce(ok(c), F.lit(False))),
-                    lambda c, p, ok=nonnull_ok, nm=null_matches, kw=keyword, m=msg:
-                    F.when(F.when(c.isNull(), F.lit(nm))
-                           .otherwise(F.coalesce(ok(c), F.lit(False))),
-                           F.array().cast(VIOLATION_SCHEMA))
-                    .otherwise(F.array(_viol(kw, p, m))))
+                def ok_all(c: Column, ok=nonnull_ok, nm=null_matches) -> Column:
+                    return F.when(c.isNull(), F.lit(nm)) \
+                            .otherwise(F.coalesce(ok(c), F.lit(False)))
+                add(ok_all,
+                    lambda c, p, kw=keyword, m=msg, r=ref:
+                    F.when(ok_all(c), F.array().cast(VIOLATION_SCHEMA))
+                    .otherwise(F.array(
+                        _viol_col(kw, p, r(c))
+                        if self.message_style == "reference" and r is not None
+                        else _viol(kw, p, m))))
             else:
-                add_simple(nonnull_ok, keyword, msg)
+                add_simple(nonnull_ok, keyword, msg, ref=ref)
 
         if s.const is not ABSENT:
             msg = f"expected {_cjson(s.const)}"
+            cref = self._refb("const", dtype, const=s.const)
             if s.const is None:
-                add_eq(lambda c: F.lit(False), True, "const", msg)
+                add_eq(lambda c: F.lit(False), True, "const", msg, ref=cref)
             else:
                 pred = _eq_pred(s.const, dtype)
                 if pred is None:
-                    add_eq(lambda c: F.lit(False), False, "const", msg)
+                    add_eq(lambda c: F.lit(False), False, "const", msg, ref=cref)
                 else:
-                    add_eq(pred, False, "const", msg)
+                    add_eq(pred, False, "const", msg, ref=cref)
         if s.enum is not None:
             null_in_enum = any(v is None for v in s.enum)
+            eref = self._refb("enum", dtype, enum=list(s.enum))
             preds = [_eq_pred(v, dtype) for v in s.enum if v is not None]
             preds = [p for p in preds if p is not None]
             if not preds:
-                add_eq(lambda c: F.lit(False), null_in_enum, "enum", "not in enum")
+                add_eq(lambda c: F.lit(False), null_in_enum, "enum",
+                       "not in enum", ref=eref)
             else:
                 add_eq(lambda c, ps=preds: reduce(
                     lambda a, b: a | b,
                     (F.coalesce(p(c), F.lit(False)) for p in ps)),
-                       null_in_enum, "enum", "not in enum")
+                       null_in_enum, "enum", "not in enum", ref=eref)
 
     # ---- strings -----------------------------------------------------------
 
@@ -341,10 +495,14 @@ class ColumnarCompiler:
             return  # string keywords pass on non-strings
         if s.max_length is not None:
             n = s.max_length
-            add_simple(lambda c, n=n: F.length(c) <= n, "maxLength", f"length > {n}")
+            add_simple(lambda c, n=n: F.length(c) <= n, "maxLength",
+                       f"length > {n}",
+                       ref=self._refb("maxLength", dtype, limit=n))
         if s.min_length is not None:
             n = s.min_length
-            add_simple(lambda c, n=n: F.length(c) >= n, "minLength", f"length < {n}")
+            add_simple(lambda c, n=n: F.length(c) >= n, "minLength",
+                       f"length < {n}",
+                       ref=self._refb("minLength", dtype, limit=n))
         if s.pattern is not None:
             from .regex_dialect import to_java_regex
             pat = s.pattern
@@ -352,7 +510,8 @@ class ColumnarCompiler:
             if jpat is None:
                 raise CompileFallback(f"pattern not Java-safe: {pat!r}")
             add_simple(lambda c, p=jpat: F.regexp_like(c, F.lit(p)),
-                       "pattern", f"no match for {pat!r}")
+                       "pattern", f"no match for {pat!r}",
+                       ref=self._refb("pattern", dtype, pattern=pat))
 
     # ---- numerics -----------------------------------------------------------
 
@@ -363,27 +522,33 @@ class ColumnarCompiler:
             return c.cast("double")
         if s.maximum is not None:
             m = s.maximum
-            add_simple(lambda c, m=m: d(c) <= m, "maximum", f"> {m}")
+            add_simple(lambda c, m=m: d(c) <= m, "maximum", f"> {m}",
+                       ref=self._refb("maximum", dtype, limit=m))
         if s.exclusive_maximum is not None:
             m = s.exclusive_maximum
-            add_simple(lambda c, m=m: d(c) < m, "exclusiveMaximum", f">= {m}")
+            add_simple(lambda c, m=m: d(c) < m, "exclusiveMaximum", f">= {m}",
+                       ref=self._refb("exclusiveMaximum", dtype, limit=m))
         if s.minimum is not None:
             m = s.minimum
-            add_simple(lambda c, m=m: d(c) >= m, "minimum", f"< {m}")
+            add_simple(lambda c, m=m: d(c) >= m, "minimum", f"< {m}",
+                       ref=self._refb("minimum", dtype, limit=m))
         if s.exclusive_minimum is not None:
             m = s.exclusive_minimum
-            add_simple(lambda c, m=m: d(c) > m, "exclusiveMinimum", f"<= {m}")
+            add_simple(lambda c, m=m: d(c) > m, "exclusiveMinimum", f"<= {m}",
+                       ref=self._refb("exclusiveMinimum", dtype, limit=m))
         if s.multiple_of is not None:
             m = s.multiple_of
             if m == 0:
-                add_simple(lambda c: F.lit(False), "multipleOf", "multipleOf 0")
+                add_simple(lambda c: F.lit(False), "multipleOf", "multipleOf 0",
+                           ref=self._refb("multipleOf", dtype, limit=m))
             else:
                 # reference semantics: float division, zero fraction, finite
                 # (x % 1.0 == 0.0 — NaN/Inf quotients give NaN != 0, and no
                 # BIGINT overflow unlike F.floor)
                 add_simple(
                     lambda c, m=m: (d(c) / m % 1.0) == 0.0,
-                    "multipleOf", f"not a multiple of {m}")
+                    "multipleOf", f"not a multiple of {m}",
+                    ref=self._refb("multipleOf", dtype, limit=m))
 
     # ---- objects (StructType shredding) -----------------------------------
 
@@ -413,7 +578,8 @@ class ColumnarCompiler:
             req = list(s.required)
             add_simple(lambda c, r=req: reduce(lambda a, b: a & b,
                                                (present(c, k) for k in r)),
-                       "required", f"missing one of {req}")
+                       "required", f"missing one of {req}",
+                       ref=self._refb("required", dtype, required=req))
 
         # key count on shredded structs = count of non-null fields
         if s.max_properties is not None or s.min_properties is not None:
@@ -423,10 +589,16 @@ class ColumnarCompiler:
                     if names else F.lit(0)
             if s.max_properties is not None:
                 m = s.max_properties
-                add_simple(lambda c, m=m: nprops(c) <= m, "maxProperties", f"> {m}")
+                add_simple(lambda c, m=m: nprops(c) <= m, "maxProperties",
+                           f"> {m}",
+                           ref=self._refb("maxProperties", dtype,
+                                          count_fn=nprops, limit=m))
             if s.min_properties is not None:
                 m = s.min_properties
-                add_simple(lambda c, m=m: nprops(c) >= m, "minProperties", f"< {m}")
+                add_simple(lambda c, m=m: nprops(c) >= m, "minProperties",
+                           f"< {m}",
+                           ref=self._refb("minProperties", dtype,
+                                          count_fn=nprops, limit=m))
 
         if s.properties:
             for name, sub in s.properties:
@@ -467,11 +639,15 @@ class ColumnarCompiler:
                 # one violation per PRESENT bad name at the object's pointer
                 # (interpreter/variant/MapType granularity)
                 def pn_viols(c: Column, p: Column, b=bad) -> Column:
+                    def mk(k: str) -> Column:
+                        r = self._refb("propertyNames", dtype, name=k)
+                        if r is not None:
+                            return _viol_col("propertyNames", p, r(c))
+                        return _viol("propertyNames", p,
+                                     f"property name '{k}' invalid")
                     return F.when(c.isNull(), F.array().cast(VIOLATION_SCHEMA)) \
                             .otherwise(_concat_viols([
-                                F.when(present(c, k), F.array(_viol(
-                                    "propertyNames", p,
-                                    f"property name '{k}' invalid")))
+                                F.when(present(c, k), F.array(mk(k)))
                                  .otherwise(F.array().cast(VIOLATION_SCHEMA))
                                 for k in b]))
                 add(lambda c, b=bad: _guard(c, ~reduce(
@@ -554,12 +730,27 @@ class ColumnarCompiler:
             for key, dep in s.dependencies:
                 if dep.required_props is not None:
                     reqs = dep.required_props
+                    dref = None
+                    if self.message_style == "reference" and reqs:
+                        # interpreter ctx: req = first MISSING prop (runtime)
+                        def dref(c: Column, k=key, r=tuple(reqs)) -> Column:
+                            from .lean_messages import ref_prefix
+                            first_missing = F.coalesce(
+                                *[F.when(~present(c, x), F.lit(x)) for x in r],
+                                F.lit(r[0]))
+                            pre = ref_prefix("dependencies", key=k, req="\x00")
+                            head, tail = pre.split("\x00")
+                            return F.concat(
+                                F.lit(head), first_missing, F.lit(tail),
+                                F.coalesce(lean_compress_typed(c, dtype),
+                                           F.lit("null")))
                     add_simple(
                         lambda c, k=key, r=reqs: F.when(
                             present(c, k),
                             reduce(lambda a, b: a & b, (present(c, x) for x in r))
                             if r else F.lit(True)).otherwise(F.lit(True)),
-                        "dependencies", f"{key!r} requires {dep.required_props}")
+                        "dependencies", f"{key!r} requires {dep.required_props}",
+                        ref=dref)
                 if dep.schema is not None:
                     low = self._lower(dep.schema, dtype, base_uri, depth + 1)
 
@@ -753,13 +944,18 @@ class ColumnarCompiler:
 
         if s.max_items is not None:
             m = s.max_items
-            add_simple(lambda c, m=m: F.size(c) <= m, "maxItems", f"> {m}")
+            add_simple(lambda c, m=m: F.size(c) <= m, "maxItems", f"> {m}",
+                       ref=self._refb("maxItems", dtype, count_fn=F.size,
+                                      limit=m))
         if s.min_items is not None:
             m = s.min_items
-            add_simple(lambda c, m=m: F.size(c) >= m, "minItems", f"< {m}")
+            add_simple(lambda c, m=m: F.size(c) >= m, "minItems", f"< {m}",
+                       ref=self._refb("minItems", dtype, count_fn=F.size,
+                                      limit=m))
         if s.unique_items:
             add_simple(lambda c: F.size(F.array_distinct(c)) == F.size(c),
-                       "uniqueItems", "duplicate elements")
+                       "uniqueItems", "duplicate elements",
+                       ref=self._refb("uniqueItems", dtype))
 
         if s.items is not None and not s.items.is_tuple:
             low = self._lower(s.items.single, elem_t, base_uri, depth + 1, "null")
@@ -806,11 +1002,22 @@ class ColumnarCompiler:
             low = self._lower(s.contains, elem_t, base_uri, depth + 1, "null")
             lo_n = s.min_contains if s.min_contains is not None else 1
             hi_n = s.max_contains
+            cref = None
+            if self.message_style == "reference":
+                ref_empty = self._refb("contains", dtype,
+                                       prefix_key="contains_empty")
+                ref_nomatch = self._refb("contains", dtype)
+
+                def cref(c: Column) -> Column:
+                    # mirror the interpreter: empty-array message iff size==0
+                    return F.when(F.size(c) == 0, ref_empty(c)) \
+                            .otherwise(ref_nomatch(c))
             if lo_n == 1 and hi_n is None:
                 add_simple(
                     lambda c, lo=low: (F.size(c) > 0)
                     & F.exists(c, lambda e: F.coalesce(lo.valid(e), F.lit(False))),
-                    "contains", "no element matches (or empty array)")
+                    "contains", "no element matches (or empty array)",
+                    ref=cref)
             else:
                 # 2020-12 min/maxContains (extension): bound the match count
                 def n_matched(c: Column, lo=low) -> Column:
@@ -826,7 +1033,8 @@ class ColumnarCompiler:
                         lambda a, b: a & b, (p(c) for p in ps))
                     if ps else F.lit(True),
                     "contains",
-                    f"match count outside [{lo_n}, {hi_n}]")
+                    f"match count outside [{lo_n}, {hi_n}]",
+                    ref=cref)
 
     # ---- combinators ----------------------------------------------------------
 
@@ -836,6 +1044,21 @@ class ColumnarCompiler:
             for sub in s.all_of:
                 low = self._lower(sub, dtype, base_uri, depth + 1, null_means)
                 add(low.valid, low.violations)
+        def branch_errs(c: Column, p: Column, lows) -> Column:
+            """Lean-array-of-arrays of per-branch violation MESSAGES — the
+            `Errors:` slot of the reference anyOf / oneOf(0) strings
+            (messages are reference-style recursively, so the embedded
+            strings byte-match the interpreter's _branch_errors)."""
+            parts = [F.concat(
+                F.lit("#["),
+                F.array_join(F.transform(lo.violations(c, p),
+                                         lambda x: x.getField("message")),
+                             ", "),
+                F.lit("]")) for lo in lows]
+            return F.concat(F.lit("#["),
+                            F.concat_ws(", ", *parts) if parts else F.lit(""),
+                            F.lit("]"))
+
         if s.any_of is not None:
             lows = [self._lower(sub, dtype, base_uri, depth + 1, null_means) for sub in s.any_of]
             def v_fn(c: Column, ls=lows) -> Column:
@@ -843,8 +1066,20 @@ class ColumnarCompiler:
                     return F.lit(False)  # empty anyOf: no branch can match
                 return reduce(lambda a, b: a | b,
                               (F.coalesce(lo.valid(c), F.lit(False)) for lo in ls))
-            add(v_fn, lambda c, p, v=v_fn: F.when(v(c), F.array().cast(VIOLATION_SCHEMA))
-                .otherwise(F.array(_viol("anyOf", p, "no branch matched"))))
+
+            def any_viol(c: Column, p: Column, v=v_fn, ls=lows) -> Column:
+                if self.message_style == "reference":
+                    msg = F.concat(
+                        F.lit("anyOf: no schemas matched. Errors: "),
+                        branch_errs(c, p, ls), F.lit(" "),
+                        F.coalesce(lean_compress_typed(c, dtype),
+                                   F.lit("null")))
+                    bad = F.array(_viol_col("anyOf", p, msg))
+                else:
+                    bad = F.array(_viol("anyOf", p, "no branch matched"))
+                return F.when(v(c), F.array().cast(VIOLATION_SCHEMA)) \
+                        .otherwise(bad)
+            add(v_fn, any_viol)
         if s.one_of is not None:
             lows = [self._lower(sub, dtype, base_uri, depth + 1, null_means) for sub in s.one_of]
             def v1_fn(c: Column, ls=lows) -> Column:
@@ -853,14 +1088,40 @@ class ColumnarCompiler:
                 return reduce(lambda a, b: a + b,
                               (F.coalesce(lo.valid(c), F.lit(False)).cast("int")
                                for lo in ls)) == 1
-            add(v1_fn, lambda c, p, v=v1_fn: F.when(v(c), F.array().cast(VIOLATION_SCHEMA))
-                .otherwise(F.array(_viol("oneOf", p, "matched != 1 branches"))))
+
+            def one_viol(c: Column, p: Column, v=v1_fn, ls=lows) -> Column:
+                if self.message_style == "reference":
+                    n = reduce(lambda a, b: a + b,
+                               (F.coalesce(lo.valid(c), F.lit(False))
+                                 .cast("int") for lo in ls)) \
+                        if ls else F.lit(0)
+                    compressed = F.coalesce(lean_compress_typed(c, dtype),
+                                            F.lit("null"))
+                    msg = F.when(
+                        n == 0,
+                        F.concat(F.lit("oneOf: expected exactly 1 match but "
+                                       "got 0. Errors: "),
+                                 branch_errs(c, p, ls), F.lit(" "),
+                                 compressed)) \
+                        .otherwise(F.concat(
+                            F.lit("oneOf: expected exactly 1 match but got "),
+                            n.cast("string"), F.lit(" "), compressed))
+                    bad = F.array(_viol_col("oneOf", p, msg))
+                else:
+                    bad = F.array(_viol("oneOf", p, "matched != 1 branches"))
+                return F.when(v(c), F.array().cast(VIOLATION_SCHEMA)) \
+                        .otherwise(bad)
+            add(v1_fn, one_viol)
         if s.not_ is not None:
             low = self._lower(s.not_, dtype, base_uri, depth + 1, null_means)
             def vn_fn(c: Column, lo=low) -> Column:
                 return ~F.coalesce(lo.valid(c), F.lit(False))
-            add(vn_fn, lambda c, p, v=vn_fn: F.when(v(c), F.array().cast(VIOLATION_SCHEMA))
-                .otherwise(F.array(_viol("not", p, "schema matched but must not"))))
+            nref = self._refb("not", dtype)
+            add(vn_fn, lambda c, p, v=vn_fn, r=nref: F.when(
+                    v(c), F.array().cast(VIOLATION_SCHEMA))
+                .otherwise(F.array(
+                    _viol_col("not", p, r(c)) if r is not None
+                    else _viol("not", p, "schema matched but must not"))))
         if s.if_ is not None:
             if_low = self._lower(s.if_, dtype, base_uri, depth + 1, null_means)
             then_low = self._lower(s.then_, dtype, base_uri, depth + 1, null_means) \

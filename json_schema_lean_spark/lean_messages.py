@@ -64,6 +64,88 @@ def report(msg: str, value: Any) -> str:
     return f"{msg} {lean_compress(value)}"
 
 
+#: runtime tail of each reference message on the COLUMN-BASED paths
+#: (compiler.py / variant.py), appended after ``ref_prefix``:
+#:   value       -> Json.compress of the offending value
+#:   strlen      -> codepoint length of the string (bare Nat — reportError
+#:                  takes s.length, and compress of a Nat is bare digits)
+#:   num         -> '"' + JsonNumber-ish toString + '"' (reportError coerces
+#:                  the n.toString STRING through Json.str, hence quoted)
+#:   count_value -> item/property/match count + ' ' + compress(value)
+#:   const       -> fully static (no runtime part)
+REF_SHAPES = {
+    "type": "value", "const": "value", "enum": "value", "required": "value",
+    "pattern": "value", "uniqueItems": "value", "not": "value",
+    "contains": "value", "contains_empty": "value", "dependencies": "value",
+    "propertyNames": "value", "$ref": "value",
+    "maxLength": "strlen", "minLength": "strlen",
+    "maximum": "num", "exclusiveMaximum": "num", "minimum": "num",
+    "exclusiveMinimum": "num", "multipleOf": "num",
+    "maxItems": "count_value", "minItems": "count_value",
+    "maxProperties": "count_value", "minProperties": "count_value",
+    "oneOf": "count_value",
+    "false": "const",
+}
+
+
+def ref_prefix(keyword: str, **ctx: Any) -> str:
+    """Static prefix of the reference message (everything before the
+    runtime part described by REF_SHAPES), INCLUDING reportError's joining
+    space. Keyword-specific ctx mirrors reference_message below."""
+    if keyword == "type":
+        return f"Expected one of {lean_array(ctx['types'])}, got  "
+    if keyword == "const":
+        return f"Expected {lean_compress(ctx['const'])}, got  "
+    if keyword == "enum":
+        return ("Expected one of "
+                + lean_array([lean_compress(e) for e in ctx["enum"]])
+                + ", got  ")
+    if keyword == "required":
+        return ("Object is missing required fields: "
+                + lean_array(ctx["required"]) + ", got  ")
+    if keyword == "maxLength":
+        return f"String is too long, max length is {ctx['limit']}, got  "
+    if keyword == "minLength":
+        return f"String is too short, min length is {ctx['limit']}, got  "
+    if keyword == "pattern":
+        return f"String does not match pattern {ctx['pattern']}, got  "
+    if keyword == "maximum" or keyword == "exclusiveMaximum":
+        return f"Number is too large, max is {lean_float(ctx['limit'])}, got  "
+    if keyword == "minimum" or keyword == "exclusiveMinimum":
+        return f"Number is too small, min is {lean_float(ctx['limit'])}, got  "
+    if keyword == "multipleOf":
+        return f"Number is not multiple of {lean_float(ctx['limit'])}, got  "
+    if keyword == "uniqueItems":
+        return "Array has duplicate items:  "
+    if keyword == "maxItems":
+        return f"Array has too many items, max is {ctx['limit']}, got "
+    if keyword == "minItems":
+        return f"Array has too few items, min is {ctx['limit']}, got "
+    if keyword == "maxProperties":
+        return f"Object has too many properties, max is {ctx['limit']}, got "
+    if keyword == "minProperties":
+        return f"Object has too few properties, min is {ctx['limit']}, got "
+    if keyword == "oneOf":
+        return "oneOf: expected exactly 1 match but got "
+    if keyword == "not":
+        return "not: expected schema to NOT match but it did "
+    if keyword == "contains":
+        return "contains: no array elements matched the schema "
+    if keyword == "contains_empty":
+        return ("contains: array is empty, expected at least one matching "
+                "element ")
+    if keyword == "dependencies":
+        return (f"Property '{ctx['key']}' requires property '{ctx['req']}' "
+                f"to be present ")
+    if keyword == "propertyNames":
+        return f"Property name '{ctx['name']}' is invalid "
+    if keyword == "$ref":
+        return f"Could not find ({ctx['base']}, {ctx['path']}) "
+    if keyword == "false":
+        return "Boolean schema 'false' rejects all values"
+    raise KeyError(keyword)
+
+
 def reference_message(keyword: str, value: Any, **ctx: Any) -> str:
     """Reference-format message for one violation. ``ctx`` carries the
     keyword-specific slots (Validation.lean line refs inline)."""

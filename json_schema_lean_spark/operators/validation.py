@@ -46,14 +46,18 @@ def validate_dataframe(
     doc_col: Optional[str] = None,
     registry: Optional[dict[str, Any]] = None,
     uri: str = "",
+    message_style: str = "structured",
 ) -> DataFrame:
     """Columnar validation. Adds ``valid`` (boolean) and ``violations``
     (array<struct<keyword,json_pointer,message>>) columns.
 
     doc_col=None treats the whole row as the instance object (shredded
     document); otherwise the named struct/array/scalar column is validated.
+    message_style="reference" emits byte-parity Lean reportError strings
+    (lean_messages.py) with the offending value compressed in at runtime.
     """
-    comp = ColumnarCompiler(schema_json, uri=uri, registry=registry)
+    comp = ColumnarCompiler(schema_json, uri=uri, registry=registry,
+                            message_style=message_style)
     if doc_col is None:
         instance = F.struct(*[F.col(c) for c in df.columns])
         dtype = StructType([f for f in df.schema.fields])
@@ -80,6 +84,7 @@ def validate_documents_exploded(
     registry: Optional[dict[str, Any]] = None,
     uri: str = "",
     keep_cols: Optional[list[str]] = None,
+    message_style: str = "structured",
 ) -> DataFrame:
     """Explode-strategy validation for the north_rule input shape
     (scalar doc columns + ONE array<struct> column with Single-items
@@ -114,7 +119,8 @@ def validate_documents_exploded(
     span_prop_doc.pop("items", None)  # array-size keywords stay doc-level
     doc_props[spans_col] = span_prop_doc
     doc_schema_json["properties"] = doc_props
-    comp = ColumnarCompiler(schema_json, uri=uri, registry=registry)
+    comp = ColumnarCompiler(schema_json, uri=uri, registry=registry,
+                            message_style=message_style)
     doc_dtype = StructType([f for f in df.schema.fields])
     doc_low = comp.lower_node(doc_schema_json, doc_dtype, base_uri=uri)
 
@@ -219,7 +225,8 @@ def violation_rows_fast(
     span_prop_doc.pop("items", None)
     doc_props[spans_col] = span_prop_doc
     doc_schema_json["properties"] = doc_props
-    comp = ColumnarCompiler(schema_json, uri=uri, registry=registry)
+    comp = ColumnarCompiler(schema_json, uri=uri, registry=registry,
+                            message_style=message_style)
     doc_dtype = StructType([f for f in df.schema.fields])
     doc_low = comp.lower_node(doc_schema_json, doc_dtype, base_uri=uri)
 
@@ -327,7 +334,8 @@ def violation_rows(validated: DataFrame, id_cols: list[str],
 
 def json_validator_udf(schema_json: Any, registry: Optional[dict[str, Any]] = None,
                        uri: str = "", fuel: int = DEFAULT_FUEL,
-                       collect_all: bool = True):
+                       collect_all: bool = True,
+                       message_style: str = "structured"):
     """Vectorized pandas UDF: json-string column -> struct(valid, violations).
 
     The CompiledValidator is built lazily ONCE per executor process (the
@@ -339,7 +347,8 @@ def json_validator_udf(schema_json: Any, registry: Optional[dict[str, Any]] = No
     def _get() -> CompiledValidator:
         if "v" not in state:
             state["v"] = CompiledValidator(schema_json, uri=uri,
-                                           registry=registry, fuel=fuel)
+                                           registry=registry, fuel=fuel,
+                                           message_style=message_style)
         return state["v"]
 
     @pandas_udf(RESULT_SCHEMA)
@@ -401,7 +410,8 @@ def validate_json_column(df: DataFrame, json_col: str, schema_json: Any,
                          registry: Optional[dict[str, Any]] = None,
                          uri: str = "", fuel: int = DEFAULT_FUEL,
                          verdict_only: bool = False,
-                         prefer_variant: bool = True) -> DataFrame:
+                         prefer_variant: bool = True,
+                         message_style: str = "structured") -> DataFrame:
     """Validation of a JSON string column. Adds valid (+ violations unless
     verdict_only).
 
@@ -414,13 +424,14 @@ def validate_json_column(df: DataFrame, json_col: str, schema_json: Any,
         try:
             return validate_json_column_variant(
                 df, json_col, schema_json, registry=registry, uri=uri,
-                verdict_only=verdict_only)
+                verdict_only=verdict_only, message_style=message_style)
         except CompileFallback:
             pass
     if verdict_only:
         udf = json_verdict_udf(schema_json, registry=registry, uri=uri, fuel=fuel)
         return df.withColumn("valid", udf(F.col(json_col)))
-    udf = json_validator_udf(schema_json, registry=registry, uri=uri, fuel=fuel)
+    udf = json_validator_udf(schema_json, registry=registry, uri=uri, fuel=fuel,
+                             message_style=message_style)
     res = udf(F.col(json_col))
     return df.withColumns({
         "valid": res.getField("valid"),

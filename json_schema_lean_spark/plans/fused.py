@@ -291,6 +291,7 @@ def validate_documents_fused(
     uri: str = "",
     keep_cols: Optional[list[str]] = None,
     with_violations: bool = True,
+    message_style: str = "structured",
 ) -> DataFrame:
     """Full validation at fused speed: fused verdict + forall-plan violation
     detail evaluated ONLY on failing rows. Output schema matches
@@ -307,7 +308,8 @@ def validate_documents_fused(
     if items is None or isinstance(items, list):
         raise FusedUnsupported("fused plan needs Single-items semantics")
 
-    comp = ColumnarCompiler(schema_json, uri=uri, registry=registry)
+    comp = ColumnarCompiler(schema_json, uri=uri, registry=registry,
+                            message_style=message_style)
 
     # doc-level plan = schema minus the items subschema (array-size keywords
     # stay doc-level), lowered by the general compiler (scalar checks codegen)

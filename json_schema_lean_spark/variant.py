@@ -66,6 +66,7 @@ from .compiler import (
     _cjson,
     _concat_viols,
     _viol,
+    _viol_col,
 )
 from .resolver import DEFAULT_URI, Resolver, find_ref_cycle, resolve_uri
 from .schema_ast import ABSENT, Schema, SchemaObject, parse_schema
@@ -266,6 +267,37 @@ def _too_deep_leaf(ref_key: str) -> Lowered:
     return Lowered(valid=valid, violations=violations)
 
 
+def _lean_compress_variant(v: Column) -> Column:
+    """Runtime ``Json.compress`` of a variant (reference-style messages).
+    Scalars render exactly (BIGINT bare, other numerics with the
+    interpreter's '%.1f'-for-integral rule); strings, arrays and objects go
+    through ``to_json`` — compact, object keys sorted (probed), UTF-8 kept
+    raw — with ONE documented approximation: an integral non-BIGINT number
+    INSIDE a container renders without its '.0' (the variant binary does not
+    keep the decimal scale)."""
+    return _let(_ts(v), lambda ts: (
+        F.when(ts == "VOID", F.lit("null"))
+         .when(ts == "BOOLEAN",
+               F.when(_bval(v), F.lit("true")).otherwise(F.lit("false")))
+         .when(ts == "BIGINT",
+               F.try_variant_get(v, "$", "bigint").cast("string"))
+         .when(_ts_is_num(ts), _lean_double(_dval(v)))
+         .otherwise(F.to_json(v))))
+
+
+def _lean_double(d: Column) -> Column:
+    return F.when((d % 1.0) == 0.0, F.format_string("%.1f", d)) \
+            .otherwise(d.cast("string"))
+
+
+def _lean_num_variant(v: Column) -> Column:
+    """Lean JsonNumber.toString-ish rendering (mirrors lean_messages.lean_num
+    on the json.loads value: int bare, float with '.0' when integral)."""
+    return F.when(_ts(v) == "BIGINT",
+                  F.try_variant_get(v, "$", "bigint").cast("string")) \
+            .otherwise(_lean_double(_dval(v)))
+
+
 def _py_depth(value: Any) -> int:
     if isinstance(value, dict):
         return 1 + max((_py_depth(x) for x in value.values()), default=0)
@@ -325,7 +357,11 @@ class VariantCompiler:
         uri: str = DEFAULT_URI,
         registry: Optional[dict[str, Any]] = None,
         child_columns: Optional[dict[str, Column]] = None,
+        message_style: str = "structured",
     ) -> None:
+        #: "structured" or "reference" (byte-parity Lean reportError strings,
+        #: offending value compressed in at runtime — _lean_compress_variant)
+        self.message_style = message_style
         #: optional pre-projected child variants for ROOT-level property /
         #: required checks (set by validate_json_column_variant's second
         #: Generate barrier): re-navigating `$.k` from the root re-walks the
@@ -351,6 +387,32 @@ class VariantCompiler:
 
     def lower(self) -> Lowered:
         return self._lower(self.schema, self.root_uri, ())
+
+    def _refb(self, keyword: str, count_fn=None,
+              prefix_key: Optional[str] = None, **ctx):
+        """Reference-style message builder (v -> Column), or None outside
+        reference mode. Twin of ColumnarCompiler._refb with variant-side
+        compress / length / number renderings."""
+        if self.message_style != "reference":
+            return None
+        from .lean_messages import REF_SHAPES, ref_prefix
+        pre = ref_prefix(prefix_key or keyword, **ctx)
+        shape = REF_SHAPES[keyword]
+
+        def compress(v: Column) -> Column:
+            return F.coalesce(_lean_compress_variant(v), F.lit("null"))
+        if shape == "value":
+            return lambda v: F.concat(F.lit(pre), compress(v))
+        if shape == "strlen":
+            return lambda v: F.concat(F.lit(pre),
+                                      F.length(_sval(v)).cast("string"))
+        if shape == "num":
+            return lambda v: F.concat(F.lit(pre + '"'), _lean_num_variant(v),
+                                      F.lit('"'))
+        if shape == "count_value":
+            return lambda v: F.concat(F.lit(pre), count_fn(v).cast("string"),
+                                      F.lit(" "), compress(v))
+        return None  # pragma: no cover
 
     # ------------------------------------------------------------------
 
@@ -381,10 +443,12 @@ class VariantCompiler:
             root, subpath = self.resolver.resolve_path(target)
             got = self.resolver.get_schema_and_uri(root, subpath)
             if got is None:
+                rref = self._refb("$ref", base=root, path=subpath)
                 return Lowered(
                     valid=lambda v: F.lit(False),
                     violations=lambda v, p: F.array(
-                        _viol("$ref", p, f"Could not find {target!r}")),
+                        _viol_col("$ref", p, rref(v)) if rref is not None
+                        else _viol("$ref", p, f"Could not find {target!r}")),
                 )
             sub, new_uri = got
             key = f"{root}#{'/'.join(subpath)}"
@@ -402,10 +466,16 @@ class VariantCompiler:
             valid_parts.append(valid_fn)
             viol_parts.append(viol_fn)
 
-        def add_simple(ok_fn, keyword: str, msg: str) -> None:
-            add(lambda v, ok=ok_fn: _guard(v, ok(v)),
-                lambda v, p, ok=ok_fn, kw=keyword, m=msg:
-                _cond_viol(v, ok(v), kw, p, m))
+        def add_simple(ok_fn, keyword: str, msg: str, ref=None) -> None:
+            if self.message_style == "reference" and ref is not None:
+                add(lambda v, ok=ok_fn: _guard(v, ok(v)),
+                    lambda v, p, ok=ok_fn, kw=keyword, r=ref:
+                    F.when(_guard(v, ok(v)), F.array().cast(VIOLATION_SCHEMA))
+                     .otherwise(F.array(_viol_col(kw, p, r(v)))))
+            else:
+                add(lambda v, ok=ok_fn: _guard(v, ok(v)),
+                    lambda v, p, ok=ok_fn, kw=keyword, m=msg:
+                    _cond_viol(v, ok(v), kw, p, m))
 
         self._lower_type(s, add_simple)
         self._lower_const_enum(s, add_simple)
@@ -451,12 +521,14 @@ class VariantCompiler:
                 return _is_num(v) & _is_integral(v)
             return F.lit(False)  # unknown type name matches nothing
 
+        tref = self._refb("type", types=[str(t) for t in names])
         if not names:
-            add_simple(lambda v: F.lit(False), "type", "expected one of []")
+            add_simple(lambda v: F.lit(False), "type", "expected one of []",
+                       ref=tref)
         else:
             add_simple(lambda v, ns=names: reduce(lambda a, b: a | b,
                                                   (one(t, v) for t in ns)),
-                       "type", f"expected one of {names}")
+                       "type", f"expected one of {names}", ref=tref)
 
     # ---- const / enum ---------------------------------------------------
 
@@ -479,15 +551,18 @@ class VariantCompiler:
         if s.const is not ABSENT:
             cval = s.const
             add_simple(lambda v, cv=cval: self._scalar_eq(v, cv),
-                       "const", f"expected {_cjson(cval)}")
+                       "const", f"expected {_cjson(cval)}",
+                       ref=self._refb("const", const=cval))
         if s.enum is not None:
             vals = list(s.enum)
+            eref = self._refb("enum", enum=vals)
             if not vals:
-                add_simple(lambda v: F.lit(False), "enum", "not in enum")
+                add_simple(lambda v: F.lit(False), "enum", "not in enum",
+                           ref=eref)
             else:
                 add_simple(lambda v, vs=vals: reduce(
                     lambda a, b: a | b, (self._scalar_eq(v, x) for x in vs)),
-                    "enum", "not in enum")
+                    "enum", "not in enum", ref=eref)
 
     # ---- strings ---------------------------------------------------------
 
@@ -499,11 +574,13 @@ class VariantCompiler:
         if s.max_length is not None:
             n = s.max_length
             add_simple(gated(lambda v, n=n: F.length(_sval(v)) <= n),
-                       "maxLength", f"length > {n}")
+                       "maxLength", f"length > {n}",
+                       ref=self._refb("maxLength", limit=n))
         if s.min_length is not None:
             n = s.min_length
             add_simple(gated(lambda v, n=n: F.length(_sval(v)) >= n),
-                       "minLength", f"length < {n}")
+                       "minLength", f"length < {n}",
+                       ref=self._refb("minLength", limit=n))
         if s.pattern is not None:
             from .regex_dialect import to_java_regex
             pat = s.pattern
@@ -511,7 +588,8 @@ class VariantCompiler:
             if jpat is None:
                 raise CompileFallback(f"pattern not Java-safe: {pat!r}")
             add_simple(gated(lambda v, p=jpat: F.regexp_like(_sval(v), F.lit(p))),
-                       "pattern", f"no match for {pat!r}")
+                       "pattern", f"no match for {pat!r}",
+                       ref=self._refb("pattern", pattern=pat))
 
     # ---- numerics ---------------------------------------------------------
 
@@ -521,23 +599,30 @@ class VariantCompiler:
                               .otherwise(F.lit(True))
         if s.maximum is not None:
             m = s.maximum
-            add_simple(gated(lambda d, m=m: d <= m), "maximum", f"> {m}")
+            add_simple(gated(lambda d, m=m: d <= m), "maximum", f"> {m}",
+                       ref=self._refb("maximum", limit=m))
         if s.exclusive_maximum is not None:
             m = s.exclusive_maximum
-            add_simple(gated(lambda d, m=m: d < m), "exclusiveMaximum", f">= {m}")
+            add_simple(gated(lambda d, m=m: d < m), "exclusiveMaximum", f">= {m}",
+                       ref=self._refb("exclusiveMaximum", limit=m))
         if s.minimum is not None:
             m = s.minimum
-            add_simple(gated(lambda d, m=m: d >= m), "minimum", f"< {m}")
+            add_simple(gated(lambda d, m=m: d >= m), "minimum", f"< {m}",
+                       ref=self._refb("minimum", limit=m))
         if s.exclusive_minimum is not None:
             m = s.exclusive_minimum
-            add_simple(gated(lambda d, m=m: d > m), "exclusiveMinimum", f"<= {m}")
+            add_simple(gated(lambda d, m=m: d > m), "exclusiveMinimum", f"<= {m}",
+                       ref=self._refb("exclusiveMinimum", limit=m))
         if s.multiple_of is not None:
             m = s.multiple_of
             if m == 0:
-                add_simple(gated(lambda d: F.lit(False)), "multipleOf", "multipleOf 0")
+                add_simple(gated(lambda d: F.lit(False)), "multipleOf",
+                           "multipleOf 0",
+                           ref=self._refb("multipleOf", limit=m))
             else:
                 add_simple(gated(lambda d, m=m: (d / m % 1.0) == 0.0),
-                           "multipleOf", f"not a multiple of {m}")
+                           "multipleOf", f"not a multiple of {m}",
+                           ref=self._refb("multipleOf", limit=m))
 
     # ---- objects ---------------------------------------------------------
 
@@ -579,16 +664,23 @@ class VariantCompiler:
             add_simple(gated(lambda v, r=req: reduce(
                 lambda a, b: a & b,
                 (child(v, k).isNotNull() for k in r))),
-                "required", f"missing one of {req}")
+                "required", f"missing one of {req}",
+                ref=self._refb("required", required=req))
 
+        def _nprops(v: Column) -> Column:
+            return F.size(_vmap(v))
         if s.max_properties is not None:
             m = s.max_properties
             add_simple(gated(lambda v, m=m: F.size(_vmap(v)) <= m),
-                       "maxProperties", f"> {m}")
+                       "maxProperties", f"> {m}",
+                       ref=self._refb("maxProperties", count_fn=_nprops,
+                                      limit=m))
         if s.min_properties is not None:
             m = s.min_properties
             add_simple(gated(lambda v, m=m: F.size(_vmap(v)) >= m),
-                       "minProperties", f"< {m}")
+                       "minProperties", f"< {m}",
+                       ref=self._refb("minProperties", count_fn=_nprops,
+                                      limit=m))
 
         if s.properties:
             for name, sub in s.properties:
@@ -609,6 +701,16 @@ class VariantCompiler:
         def pn_viols_from(bad_keys_fn):
             """One 'propertyNames' violation per offending key at the
             object's pointer (interpreter granularity)."""
+            refmode = self.message_style == "reference"
+
+            def msg_for(k: Column, v: Column) -> Column:
+                if refmode:
+                    return F.concat(F.lit("Property name '"), k,
+                                    F.lit("' is invalid "),
+                                    _lean_compress_variant(v))
+                return F.concat(F.lit("property name '"), k,
+                                F.lit("' invalid"))
+
             def viol_fn(v: Column, p: Column) -> Column:
                 return F.when(v.isNull() | ~is_obj(v),
                               F.array().cast(VIOLATION_SCHEMA)) \
@@ -617,9 +719,7 @@ class VariantCompiler:
                             lambda k: F.struct(
                                 F.lit("propertyNames").alias("keyword"),
                                 p.alias("json_pointer"),
-                                F.concat(F.lit("property name '"), k,
-                                         F.lit("' invalid"))
-                                 .alias("message"))))
+                                msg_for(k, v).alias("message"))))
             return viol_fn
 
         if s.property_names is not None:
@@ -727,12 +827,27 @@ class VariantCompiler:
             for key, dep in s.dependencies:
                 if dep.required_props is not None:
                     reqs = dep.required_props
+                    dref = None
+                    if self.message_style == "reference" and reqs:
+                        def dref(v: Column, k=key, r=tuple(reqs)) -> Column:
+                            from .lean_messages import ref_prefix
+                            first_missing = F.coalesce(
+                                *[F.when(~F.map_contains_key(_vmap(v), x),
+                                         F.lit(x)) for x in r],
+                                F.lit(r[0]))
+                            pre = ref_prefix("dependencies", key=k, req="\x00")
+                            head, tail = pre.split("\x00")
+                            return F.concat(
+                                F.lit(head), first_missing, F.lit(tail),
+                                F.coalesce(_lean_compress_variant(v),
+                                           F.lit("null")))
                     add_simple(gated(lambda v, k=key, r=reqs: F.when(
                         F.map_contains_key(_vmap(v), k),
                         reduce(lambda a, b: a & b,
                                (F.map_contains_key(_vmap(v), x) for x in r))
                         if r else F.lit(True)).otherwise(F.lit(True))),
-                        "dependencies", f"{key!r} requires {dep.required_props}")
+                        "dependencies", f"{key!r} requires {dep.required_props}",
+                        ref=dref)
                 if dep.schema is not None:
                     low = self._lower(dep.schema, base_uri, chain)
 
@@ -789,14 +904,19 @@ class VariantCompiler:
                     .otherwise(F.size(F.array_distinct(canons))
                                == F.size(canons)))
 
-            add_simple(gated(uniq), "uniqueItems", "array items are not unique")
+            add_simple(gated(uniq), "uniqueItems", "array items are not unique",
+                       ref=self._refb("uniqueItems"))
 
+        def _nitems(v: Column) -> Column:
+            return F.size(_varr(v))
         if s.max_items is not None:
             m = s.max_items
-            add_simple(gated(lambda a, m=m: F.size(a) <= m), "maxItems", f"> {m}")
+            add_simple(gated(lambda a, m=m: F.size(a) <= m), "maxItems", f"> {m}",
+                       ref=self._refb("maxItems", count_fn=_nitems, limit=m))
         if s.min_items is not None:
             m = s.min_items
-            add_simple(gated(lambda a, m=m: F.size(a) >= m), "minItems", f"< {m}")
+            add_simple(gated(lambda a, m=m: F.size(a) >= m), "minItems", f"< {m}",
+                       ref=self._refb("minItems", count_fn=_nitems, limit=m))
 
         if s.items is not None and not s.items.is_tuple:
             low = self._lower(s.items.single, base_uri, chain)
@@ -840,10 +960,19 @@ class VariantCompiler:
             low = self._lower(s.contains, base_uri, chain)
             lo_n = s.min_contains if s.min_contains is not None else 1
             hi_n = s.max_contains
+            cref = None
+            if self.message_style == "reference":
+                ref_empty = self._refb("contains", prefix_key="contains_empty")
+                ref_nomatch = self._refb("contains")
+
+                def cref(v: Column) -> Column:
+                    return F.when(F.size(_varr(v)) == 0, ref_empty(v)) \
+                            .otherwise(ref_nomatch(v))
             if lo_n == 1 and hi_n is None:
                 add_simple(gated(lambda a, lo=low: (F.size(a) > 0) & F.exists(
                     a, lambda e: F.coalesce(lo.valid(e), F.lit(False)))),
-                    "contains", "no element matches (or empty array)")
+                    "contains", "no element matches (or empty array)",
+                    ref=cref)
             else:
                 # 2020-12 min/maxContains (extension)
                 def n_matched(a: Column, lo=low) -> Column:
@@ -857,7 +986,8 @@ class VariantCompiler:
                         p = p & (n_matched(a) <= hi_n)
                     return p
                 add_simple(gated(pred), "contains",
-                           f"match count outside [{lo_n}, {hi_n}]")
+                           f"match count outside [{lo_n}, {hi_n}]",
+                           ref=cref)
 
     # ---- combinators ---------------------------------------------------------
 
@@ -868,6 +998,20 @@ class VariantCompiler:
             for sub in s.all_of:
                 low = self._lower(sub, base_uri, chain)
                 add(low.valid, low.violations)
+        def branch_errs(v: Column, p: Column, lows) -> Column:
+            """Lean-array-of-arrays of per-branch violation messages (the
+            `Errors:` slot — twin of ColumnarCompiler.branch_errs)."""
+            parts = [F.concat(
+                F.lit("#["),
+                F.array_join(F.transform(lo.violations(v, p),
+                                         lambda x: x.getField("message")),
+                             ", "),
+                F.lit("]")) for lo in lows]
+            return F.concat(F.lit("#["),
+                            F.concat_ws(", ", *parts) if parts else F.lit(""),
+                            F.lit("]"))
+
+        refmode = self.message_style == "reference"
         if s.any_of is not None:
             lows = [self._lower(sub, base_uri, chain) for sub in s.any_of]
 
@@ -876,9 +1020,19 @@ class VariantCompiler:
                     return F.lit(False)
                 return reduce(lambda a, b: a | b,
                               (F.coalesce(lo.valid(v), F.lit(False)) for lo in ls))
-            add(v_fn, lambda v, p, vf=v_fn: F.when(
-                vf(v), F.array().cast(VIOLATION_SCHEMA))
-                .otherwise(F.array(_viol("anyOf", p, "no branch matched"))))
+
+            def any_viol(v: Column, p: Column, vf=v_fn, ls=lows) -> Column:
+                if refmode:
+                    msg = F.concat(
+                        F.lit("anyOf: no schemas matched. Errors: "),
+                        branch_errs(v, p, ls), F.lit(" "),
+                        F.coalesce(_lean_compress_variant(v), F.lit("null")))
+                    bad = F.array(_viol_col("anyOf", p, msg))
+                else:
+                    bad = F.array(_viol("anyOf", p, "no branch matched"))
+                return F.when(vf(v), F.array().cast(VIOLATION_SCHEMA)) \
+                        .otherwise(bad)
+            add(v_fn, any_viol)
         if s.one_of is not None:
             lows = [self._lower(sub, base_uri, chain) for sub in s.one_of]
 
@@ -888,17 +1042,41 @@ class VariantCompiler:
                 return reduce(lambda a, b: a + b,
                               (F.coalesce(lo.valid(v), F.lit(False)).cast("int")
                                for lo in ls)) == 1
-            add(v1_fn, lambda v, p, vf=v1_fn: F.when(
-                vf(v), F.array().cast(VIOLATION_SCHEMA))
-                .otherwise(F.array(_viol("oneOf", p, "matched != 1 branches"))))
+
+            def one_viol(v: Column, p: Column, vf=v1_fn, ls=lows) -> Column:
+                if refmode:
+                    n = reduce(lambda a, b: a + b,
+                               (F.coalesce(lo.valid(v), F.lit(False))
+                                 .cast("int") for lo in ls)) \
+                        if ls else F.lit(0)
+                    compressed = F.coalesce(_lean_compress_variant(v),
+                                            F.lit("null"))
+                    msg = F.when(
+                        n == 0,
+                        F.concat(F.lit("oneOf: expected exactly 1 match but "
+                                       "got 0. Errors: "),
+                                 branch_errs(v, p, ls), F.lit(" "),
+                                 compressed)) \
+                        .otherwise(F.concat(
+                            F.lit("oneOf: expected exactly 1 match but got "),
+                            n.cast("string"), F.lit(" "), compressed))
+                    bad = F.array(_viol_col("oneOf", p, msg))
+                else:
+                    bad = F.array(_viol("oneOf", p, "matched != 1 branches"))
+                return F.when(vf(v), F.array().cast(VIOLATION_SCHEMA)) \
+                        .otherwise(bad)
+            add(v1_fn, one_viol)
         if s.not_ is not None:
             low = self._lower(s.not_, base_uri, chain)
 
             def vn_fn(v: Column, lo=low) -> Column:
                 return ~F.coalesce(lo.valid(v), F.lit(False))
-            add(vn_fn, lambda v, p, vf=vn_fn: F.when(
+            nref = self._refb("not")
+            add(vn_fn, lambda v, p, vf=vn_fn, r=nref: F.when(
                 vf(v), F.array().cast(VIOLATION_SCHEMA))
-                .otherwise(F.array(_viol("not", p, "schema matched but must not"))))
+                .otherwise(F.array(
+                    _viol_col("not", p, r(v)) if r is not None
+                    else _viol("not", p, "schema matched but must not"))))
         if s.if_ is not None:
             if_low = self._lower(s.if_, base_uri, chain)
             then_low = self._lower(s.then_, base_uri, chain) \
@@ -919,13 +1097,15 @@ class VariantCompiler:
 def validate_json_column_variant(df, json_col: str, schema_json: Any,
                                  registry: Optional[dict[str, Any]] = None,
                                  uri: str = DEFAULT_URI,
-                                 verdict_only: bool = False):
+                                 verdict_only: bool = False,
+                                 message_style: str = "structured"):
     """Variant-path validation of a JSON string column. Adds ``valid`` (+
     ``violations`` unless verdict_only). Contract matches the Arrow path
     (validate_json_column): NULL input -> NULL verdict; unparseable JSON ->
     invalid with a ``$parse`` violation. Raises CompileFallback outside the
     variant-lowerable subset."""
-    comp = VariantCompiler(schema_json, uri=uri, registry=registry)
+    comp = VariantCompiler(schema_json, uri=uri, registry=registry,
+                           message_style=message_style)
     raw = F.col(json_col)
 
     # Generate barrier (measured 3x at sf0.1): projections INLINE aliased
