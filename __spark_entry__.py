@@ -362,15 +362,23 @@ def _q_suite_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_lean_spark.operators.validation import suite_validator_udf
 
     fixtures = Path(__file__).resolve().parent / "fixtures"
-    suite_dirs = [fixtures / "suite", fixtures / "suite_official" / "draft7"]
+    suite_dirs = [fixtures / "suite", fixtures / "suite_official" / "draft7",
+                  fixtures / "suite_official" / "draft7" / "optional"]
+    # the official optional/float-overflow expectation contradicts the
+    # reference's Float semantics (1e308/0.5 = inf is not an integer);
+    # reference parity wins — tests/test_optional_suites.py pins the same
+    known_diff = {("float-overflow",
+                   "valid if optional overflow handling is implemented"): False}
     rows = []
     for fp in sorted(p for d in suite_dirs for p in d.glob("*.json")):
         for ci, case in enumerate(_json.loads(fp.read_text())):
             for ti, test in enumerate(case["tests"]):
+                expected = known_diff.get((fp.stem, test["description"]),
+                                          test["valid"])
                 rows.append((f"{fp.stem}/{ci}/{ti}",
                              _json.dumps(case["schema"], sort_keys=True),
                              _json.dumps(test["data"]),
-                             test["valid"]))
+                             expected))
     df = spark.createDataFrame(
         rows, "test_id string, schema_json string, instance_json string, expected boolean")
     udf = suite_validator_udf()
