@@ -5,16 +5,17 @@ decode / feature-extract / resize / frame-sample stages run as Arrow-batched
 ``mapInPandas`` transforms (the 100 TB pattern: media bytes never leave the
 executor, Python sees pyarrow batches, partitioning is preserved).
 
-Decoders (r2): ``decoder="real"`` genuinely decodes ONE container format per
+Decoders: ``decoder="real"`` genuinely decodes ONE container format per
 modality with zero third-party deps — 24-bit uncompressed **BMP** for images
-(hand-parsed BITMAPINFOHEADER) and 16-bit PCM **WAV** for audio (stdlib
-``wave``) — and falls back to PIL/librosa for other formats only if those
-libs exist (they don't in this container: such rows yield NULL features,
-the robust large-pipeline behavior). ``decoder="fake"`` (default for
-benches) derives deterministic hash-based pseudo-features. Video frame
-sampling stays stubbed (no ffmpeg in any form here). Deterministic
-generators (:func:`synth_bmp`, :func:`synth_wav`) make the real paths
-testable end-to-end.
+(hand-parsed BITMAPINFOHEADER), 16-bit PCM **WAV** for audio (stdlib
+``wave``), and **YUV4MPEG2** (y4m) for video frame sampling (r3 — plain-text
+header + raw planar frames, decode_y4m) — and falls back to PIL for other
+image formats only if the lib exists (it doesn't in this container: such
+rows yield NULL features, the robust large-pipeline behavior).
+``decoder="fake"`` (default for benches) derives deterministic hash-based
+pseudo-features. Deterministic generators (:func:`synth_bmp`,
+:func:`synth_wav`, :func:`synth_y4m`) make every real path testable
+end-to-end.
 """
 
 from __future__ import annotations
@@ -298,21 +299,106 @@ def audio_features(df: DataFrame, ref_col: str = "media_ref",
     return narrow.mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# real video codec: YUV4MPEG2 (plain-text header + raw planar frames)
+# ---------------------------------------------------------------------------
+
+_Y4M_FRAME_SIZES = {
+    "mono": lambda w, h: w * h,
+    "420": lambda w, h: w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2),
+    "422": lambda w, h: w * h + 2 * ((w + 1) // 2) * h,
+    "444": lambda w, h: w * h * 3,
+}
+
+
+def synth_y4m(width: int = 16, height: int = 8, n_frames: int = 6,
+              seed: str = "x", colorspace: str = "C420jpeg") -> bytes:
+    """Deterministic valid YUV4MPEG2 stream (seeded per-frame gradients)."""
+    noise = hashlib.sha256(seed.encode()).digest()
+    out = bytearray(
+        f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 {colorspace}\n".encode())
+    cw, ch = (width + 1) // 2, (height + 1) // 2
+    for f in range(n_frames):
+        out += b"FRAME\n"
+        for i in range(width * height):            # Y plane
+            out.append((noise[(i + f) % len(noise)] + f * 7 + i) & 0xFF)
+        for i in range(2 * cw * ch):               # Cb + Cr planes (4:2:0)
+            out.append((128 + f * 3 + (i % 16)) & 0xFF)
+    return bytes(out)
+
+
+def decode_y4m(data: bytes) -> Optional[tuple[int, int, list[bytes]]]:
+    """(width, height, [raw frame bytes]) for a YUV4MPEG2 stream; None when
+    the blob isn't one. Supports mono/420*/422/444 colorspaces; per-frame
+    parameter strings after FRAME are allowed and ignored."""
+    try:
+        if not data.startswith(b"YUV4MPEG2"):
+            return None
+        nl = data.index(b"\n")
+        width = height = None
+        cs = "420"
+        for tok in data[9:nl].split():
+            t = tok.decode("ascii", "replace")
+            if t.startswith("W"):
+                width = int(t[1:])
+            elif t.startswith("H"):
+                height = int(t[1:])
+            elif t.startswith("C"):
+                c = t[1:]
+                cs = "mono" if c.startswith("mono") else c[:3]
+        if not width or not height or cs not in _Y4M_FRAME_SIZES:
+            return None
+        frame_size = _Y4M_FRAME_SIZES[cs](width, height)
+        frames: list[bytes] = []
+        pos = nl + 1
+        while pos < len(data):
+            if data[pos:pos + 5] != b"FRAME":
+                return None  # stream corrupt mid-way: not a valid y4m
+            fnl = data.index(b"\n", pos)
+            start = fnl + 1
+            if start + frame_size > len(data):
+                return None  # truncated frame
+            frames.append(bytes(data[start:start + frame_size]))
+            pos = start + frame_size
+        return width, height, frames
+    except (ValueError, IndexError):
+        return None
+
+
 def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4,
                   ref_col: str = "media_ref",
                   bytes_col: str = "media_bytes",
                   decoder: str = "fake") -> DataFrame:
-    """Frame-sampling stub: emits up to max_frames rows per video blob
-    (mapInPandas fan-out — the row-expanding UDF shape)."""
-    if decoder == "real":
-        raise NotImplementedError(
-            "real frame sampling needs ffmpeg bindings, not installed; "
-            "use decoder='fake'")
+    """Frame sampling via mapInPandas fan-out (the row-expanding UDF shape):
+    up to ``max_frames`` rows per video blob, one per sampled frame.
 
+    decoder="real" decodes YUV4MPEG2 natively (decode_y4m — zero deps) and
+    samples frames 0, every_n, 2*every_n, ...; blobs that aren't y4m emit NO
+    rows (the robust large-pipeline behavior for a row-expanding stage).
+    decoder="fake" keeps the deterministic hash-derived bench path."""
     narrow = df.select(F.col(ref_col).alias("media_ref"),
                        F.col(bytes_col).alias("media_bytes"))
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            refs, idxs, shas = [], [], []
+            for ref, data in zip(pdf["media_ref"], pdf["media_bytes"]):
+                b = bytes(data) if data is not None else b""
+                got = decode_y4m(b)
+                if got is None:
+                    continue
+                _w, _h, frames = got
+                for k in range(max_frames):
+                    fi = k * every_n
+                    if fi >= len(frames):
+                        break
+                    refs.append(ref)
+                    idxs.append(fi)
+                    shas.append(hashlib.sha256(frames[fi]).hexdigest())
+            yield pd.DataFrame({"media_ref": refs, "frame_idx": idxs,
+                                "frame_sha256": shas})
+
+    def fake_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             refs, idxs, shas = [], [], []
             for ref, data in zip(pdf["media_ref"], pdf["media_bytes"]):
@@ -325,4 +411,5 @@ def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4,
             yield pd.DataFrame({"media_ref": refs, "frame_idx": idxs,
                                 "frame_sha256": shas})
 
-    return narrow.mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+    fn = real_batches if decoder == "real" else fake_batches
+    return narrow.mapInPandas(fn, FRAME_SAMPLE_SCHEMA)

@@ -259,15 +259,50 @@ def test_audio_and_frames_shapes(media):
     assert all(len(v) <= 4 for v in per_ref.values())
 
 
-def test_real_decoder_video_still_stubbed(media):
-    """Video frame sampling remains the one honestly-stubbed modality (no
-    ffmpeg in any form in this container); image/audio decoder='real' are
-    genuinely implemented (BMP/WAV tests below) — synthetic non-media blobs
-    simply yield NULL features there."""
-    with pytest.raises(NotImplementedError):
-        sample_frames(media, decoder="real").collect()
+def test_real_decoder_on_non_media_blobs(media):
+    """decoder='real' on synthetic non-media blobs: feature stages yield
+    NULL features, the row-expanding frame sampler yields zero rows — the
+    robust large-pipeline behavior (r3: video de-stubbed via Y4M; the old
+    NotImplementedError is gone)."""
     rows = audio_features(media, decoder="real").collect()
     assert rows and all(r["sample_rate"] is None for r in rows)
+    assert sample_frames(media, decoder="real").collect() == []
+
+
+def test_real_y4m_frame_sampling_roundtrip(spark):
+    from json_schema_lean_spark.operators.multimodal import (
+        decode_y4m,
+        synth_y4m,
+    )
+    import hashlib
+
+    # driver-side decode sanity
+    blob = synth_y4m(width=16, height=8, n_frames=7, seed="v1")
+    w, h, frames = decode_y4m(blob)
+    assert (w, h, len(frames)) == (16, 8, 7)
+    assert all(len(f) == 16 * 8 * 3 // 2 for f in frames)  # 4:2:0
+    assert decode_y4m(b"not a video") is None
+    assert decode_y4m(blob[:60]) is None                   # truncated mid-frame
+    # other colorspaces size correctly
+    w4, h4, f4 = decode_y4m(synth_y4m(4, 4, 2, "z", colorspace="C444"))
+    assert len(f4[0]) == 4 * 4 * 3
+
+    rows = [("asset://vid/1", bytearray(blob), "video"),
+            ("asset://vid/2", bytearray(synth_y4m(8, 8, 2, "v2")), "video"),
+            ("asset://vid/bad", bytearray(b"RIFF junk"), "video")]
+    df = spark.createDataFrame(
+        rows, "media_ref string, media_bytes binary, media_kind string")
+    got = sample_frames(df, every_n=3, max_frames=2, decoder="real").collect()
+    by_ref = {}
+    for r in got:
+        by_ref.setdefault(r["media_ref"], {})[r["frame_idx"]] = r["frame_sha256"]
+    # 7 frames, every 3rd, max 2 -> indices 0 and 3
+    assert sorted(by_ref["asset://vid/1"]) == [0, 3]
+    # 2 frames, every 3rd -> only index 0
+    assert sorted(by_ref["asset://vid/2"]) == [0]
+    assert "asset://vid/bad" not in by_ref  # undecodable -> zero rows
+    # distributed hashes match driver-side frame bytes
+    assert by_ref["asset://vid/1"][3] == hashlib.sha256(frames[3]).hexdigest()
 
 
 def test_multi_column_histograms_single_pass_equivalence(spark):
