@@ -317,12 +317,14 @@ def synth_y4m(width: int = 16, height: int = 8, n_frames: int = 6,
     noise = hashlib.sha256(seed.encode()).digest()
     out = bytearray(
         f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 {colorspace}\n".encode())
-    cw, ch = (width + 1) // 2, (height + 1) // 2
+    c = colorspace[1:]
+    cs = "mono" if c.startswith("mono") else c[:3]
+    chroma = _Y4M_FRAME_SIZES[cs](width, height) - width * height
     for f in range(n_frames):
         out += b"FRAME\n"
         for i in range(width * height):            # Y plane
             out.append((noise[(i + f) % len(noise)] + f * 7 + i) & 0xFF)
-        for i in range(2 * cw * ch):               # Cb + Cr planes (4:2:0)
+        for i in range(chroma):                    # Cb + Cr planes
             out.append((128 + f * 3 + (i % 16)) & 0xFF)
     return bytes(out)
 
