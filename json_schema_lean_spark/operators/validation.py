@@ -194,6 +194,7 @@ def violation_rows_fast(
     id_cols: Optional[list[str]] = None,
     registry: Optional[dict[str, Any]] = None,
     uri: str = "",
+    message_style: str = "structured",
 ) -> DataFrame:
     """Violation ROWS (id..., span_idx, keyword, json_pointer, message) with
     ZERO shuffle and one scan — the 100 TB production shape for the
@@ -443,7 +444,8 @@ def validate_spans_best(df: DataFrame, schema_json: Any,
                         spans_col: str = "spans",
                         registry: Optional[dict[str, Any]] = None,
                         uri: str = "",
-                        keep_cols: Optional[list[str]] = None) -> DataFrame:
+                        keep_cols: Optional[list[str]] = None,
+                        message_style: str = "structured") -> DataFrame:
     """Best-available strategy chain for spans-shaped document tables:
     fused-array (codegen, zero shuffle) -> explode+agg (codegen, verdict
     shuffle) -> forall projection (interpreted HOF, zero shuffle). All three
@@ -452,15 +454,18 @@ def validate_spans_best(df: DataFrame, schema_json: Any,
     try:
         return validate_documents_fused(df, schema_json, spans_col=spans_col,
                                         registry=registry, uri=uri,
-                                        keep_cols=keep_cols)
+                                        keep_cols=keep_cols,
+                                        message_style=message_style)
     except FusedUnsupported:
         pass
     try:
         return validate_documents_exploded(df, schema_json, spans_col=spans_col,
                                            registry=registry, uri=uri,
-                                           keep_cols=keep_cols)
+                                           keep_cols=keep_cols,
+                                           message_style=message_style)
     except CompileFallback:
-        out = validate_dataframe(df, schema_json, registry=registry, uri=uri)
+        out = validate_dataframe(df, schema_json, registry=registry, uri=uri,
+                                 message_style=message_style)
         keep = keep_cols if keep_cols is not None else list(df.columns)
         return out.select(*keep, "valid", "violations")
 
