@@ -325,6 +325,18 @@ def _q_distinct_sources_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_count_per_key(_docs(spark, sf_dir), "lang", "source")
 
 
+def _q_drift_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample distribution drift (KS + chi-square) of `value` between
+    click and purchase events — the north_star drift check as one DataFrame
+    plan (operators/drift.two_sample_drift): single scan, bounded-histogram
+    shuffle, no driver-side collect."""
+    from json_schema_lean_spark.operators.drift import two_sample_drift
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("event_type").isin("click", "purchase"))
+          .withColumn("is_click", F.col("event_type") == "click"))
+    return two_sample_drift(ev, "value", "is_click", 0.0, 200.0, nbins=8)
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_lean_spark.operators.text import winnow_fingerprint
     d = _docs(spark, sf_dir)
@@ -423,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_vocab": _q_ngram_vocab,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "distinct_sources_per_lang": _q_distinct_sources_per_lang,
+        "drift_click_vs_purchase": _q_drift_click_vs_purchase,
     }
 
 
@@ -835,6 +848,31 @@ def oracle_sql() -> dict[str, str]:
         "distinct_sources_per_lang": """
             SELECT lang, count(DISTINCT source)::BIGINT AS n_distinct
             FROM documents GROUP BY lang
+        """,
+        "drift_click_vs_purchase": """
+            WITH base AS (
+              SELECT least(greatest(CAST(floor((value - 0.0) / 25.0) AS INT),
+                                    0), 7) AS bucket,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+              FROM events
+              WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+            hist AS (
+              SELECT bucket, SUM(is_a) AS cnt_a, SUM(1 - is_a) AS cnt_b
+              FROM base GROUP BY bucket),
+            cum AS (
+              SELECT cnt_a, cnt_b,
+                     SUM(cnt_a) OVER (ORDER BY bucket) AS ca,
+                     SUM(cnt_b) OVER (ORDER BY bucket) AS cb,
+                     SUM(cnt_a) OVER () AS na,
+                     SUM(cnt_b) OVER () AS nb
+              FROM hist)
+            SELECT max(na)::BIGINT AS n_a,
+                   max(nb)::BIGINT AS n_b,
+                   round(max(abs(ca * 1.0 / na - cb * 1.0 / nb)), 6) AS ks_stat,
+                   round(sum(pow(cnt_a - cnt_b * na * 1.0 / nb, 2)
+                             / (cnt_b * na * 1.0 / nb)), 6) AS chi2_stat,
+                   (count(*) - 1)::BIGINT AS dof
+            FROM cum
         """,
         "winnow_fingerprints": """
             WITH norm AS (

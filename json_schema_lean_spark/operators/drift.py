@@ -218,6 +218,60 @@ def chi_square_pvalue(stat: float, dof: int) -> float:
     return _gammainc_upper_reg(dof / 2.0, stat / 2.0)
 
 
+def two_sample_drift(df: DataFrame, value_col: str, split_col,
+                     lo: float, hi: float, nbins: int = 8,
+                     round_to: int = 6) -> DataFrame:
+    """Two-sample drift as a DataFrame plan (oracle-able end to end): split
+    the input into sample A (``split_col`` true) and sample B (false), bin
+    ``value_col`` with fixed edges, and emit ONE row
+    ``(n_a, n_b, ks_stat, chi2_stat, dof)``.
+
+    Scale shape: one scan; ``groupBy(bucket)`` with map-side partial
+    aggregation shuffles at most ``nbins`` rows, and the window/agg math
+    that follows runs on that bounded histogram, never on input rows —
+    same single-pass discipline as :func:`histograms` but fully inside the
+    plan (no driver-side collect), so it composes with checkpointing and
+    DuckDB oracles.
+
+    Semantics match the driver-side helpers on dense histograms:
+    KS = max CDF gap (:func:`ks_from_histograms`); chi-square = plain
+    Pearson sum with B rescaled to A's total — equal to
+    :func:`chi_square_from_histograms` whenever every expected bin
+    clears the >=5 merge threshold (pinned in tests). Rows where either
+    column is NULL are excluded; values clamp into the edge bins."""
+    from pyspark.sql.window import Window
+
+    width = (hi - lo) / nbins
+    split = F.col(split_col).cast("boolean")
+    bucket = F.least(
+        F.greatest(F.floor((F.col(value_col).cast("double") - lo) / width),
+                   F.lit(0)),
+        F.lit(nbins - 1)).cast("int")
+    hist = (df.where(F.col(value_col).isNotNull() & split.isNotNull())
+              .groupBy(bucket.alias("bucket"))
+              .agg(F.sum(F.when(split, 1).otherwise(0)).alias("cnt_a"),
+                   F.sum(F.when(~split, 1).otherwise(0)).alias("cnt_b")))
+    # bounded frame: <= nbins rows from here on
+    w_cum = (Window.orderBy("bucket")
+                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy()
+    cum = (hist.withColumn("ca", F.sum("cnt_a").over(w_cum))
+               .withColumn("cb", F.sum("cnt_b").over(w_cum))
+               .withColumn("na", F.sum("cnt_a").over(w_all))
+               .withColumn("nb", F.sum("cnt_b").over(w_all)))
+    exp_b = F.col("cnt_b") * F.col("na") / F.col("nb")  # B rescaled to A
+    return cum.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.round(F.max(F.abs(F.col("ca") / F.col("na")
+                            - F.col("cb") / F.col("nb"))),
+                round_to).alias("ks_stat"),
+        F.round(F.sum(F.pow(F.col("cnt_a") - exp_b, F.lit(2)) / exp_b),
+                round_to).alias("chi2_stat"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+    )
+
+
 def drift_report(current: DataFrame, baseline_rows: list[dict],
                  alpha: float = 0.01) -> list[dict]:
     """Compare the current table against baseline rows (from baseline_stats).

@@ -64,6 +64,49 @@ def test_baseline_roundtrip_and_drift(spark, docs, tmp_path):
     assert all(not r["ks_drifted"] for r in report)
 
 
+def test_two_sample_drift_matches_python_helpers(spark):
+    """The one-row DataFrame plan agrees with the driver-side helpers
+    (ks_from_histograms / chi_square_from_histograms) on dense histograms
+    where the >=5 merge rule never fires — and the plan never collects
+    input rows (bounded-histogram window only)."""
+    import random
+    rng = random.Random(7)
+    rows = ([(rng.uniform(0, 90), True) for _ in range(800)]
+            + [(rng.uniform(10, 100), False) for _ in range(600)]
+            + [(None, True), (50.0, None)])  # NULL value / NULL split drop
+    df = spark.createDataFrame(rows, "value double, is_a boolean")
+    out = drift_ops.two_sample_drift(df, "value", "is_a", 0.0, 100.0,
+                                     nbins=5).collect()[0]
+
+    # reference histograms computed the slow way
+    def hist(vals):
+        h = [0] * 5
+        for v in vals:
+            h[min(max(int((v - 0.0) // 20.0), 0), 4)] += 1
+        return h
+    a = hist([v for v, s in rows if v is not None and s is True])
+    b = hist([v for v, s in rows if v is not None and s is False])
+    assert out["n_a"] == sum(a) == 800
+    assert out["n_b"] == sum(b) == 600
+    assert out["ks_stat"] == round(drift_ops.ks_from_histograms(a, b), 6)
+    chi, dof = drift_ops.chi_square_from_histograms(a, b)
+    assert out["chi2_stat"] == round(chi, 6)
+    assert out["dof"] == dof
+    assert out["ks_stat"] > 0.05  # the shifted windows genuinely differ
+
+
+def test_two_sample_drift_identical_split_is_zero(spark):
+    # floor(id/2) pairs each value with one even and one odd id, so the
+    # two samples are exactly identical distributions
+    df = spark.range(0, 2000).select(
+        (F.floor(F.col("id") / 2) % 97).cast("double").alias("value"),
+        (F.col("id") % 2 == 0).alias("is_a"))
+    out = drift_ops.two_sample_drift(df, "value", "is_a", 0.0, 97.0,
+                                     nbins=4).collect()[0]
+    assert out["ks_stat"] == 0.0 and out["chi2_stat"] == 0.0
+    assert out["n_a"] == out["n_b"] == 1000
+
+
 def test_chi_square_pvalue_sane():
     # chi2 CDF checkpoints (vs published tables)
     assert abs(drift_ops.chi_square_pvalue(3.841, 1) - 0.05) < 0.002
