@@ -375,7 +375,10 @@ def _q_suite_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fixtures = Path(__file__).resolve().parent / "fixtures"
     suite_dirs = [fixtures / "suite", fixtures / "suite_official" / "draft7",
-                  fixtures / "suite_official" / "draft7" / "optional"]
+                  fixtures / "suite_official" / "draft7" / "optional",
+                  fixtures / "suite_official" / "draft7" / "refremote"]
+    from json_schema_lean_spark.metaschema import load_suite_remotes
+    remotes = load_suite_remotes(fixtures / "suite_official" / "remotes")
     # the official optional/float-overflow expectation contradicts the
     # reference's Float semantics (1e308/0.5 = inf is not an integer);
     # reference parity wins — tests/test_optional_suites.py pins the same
@@ -393,7 +396,7 @@ def _q_suite_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
                              expected))
     df = spark.createDataFrame(
         rows, "test_id string, schema_json string, instance_json string, expected boolean")
-    udf = suite_validator_udf()
+    udf = suite_validator_udf(extra_registry=remotes)
     got = df.withColumn("valid", udf(F.col("schema_json"), F.col("instance_json")))
     return got.where(F.col("valid") != F.col("expected")) \
               .select("test_id", "expected", "valid")

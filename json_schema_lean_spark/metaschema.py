@@ -95,3 +95,19 @@ DRAFT7_META = {
 
 #: registry mapping for resolvers that should see the meta-schema
 META_REGISTRY = {DRAFT7_META_URI: DRAFT7_META}
+
+def load_suite_remotes(remotes_dir) -> dict:
+    """Load a JSON-Schema-Test-Suite ``remotes/`` tree into a registry dict
+    keyed by the suite's canonical ``http://localhost:1234/<relpath>`` URIs
+    (the reference runs the suite without network, same as us — remote
+    documents are pre-registered, /root/reference/README.md:7 notes the
+    skipped network cases). Returned mapping composes with META_REGISTRY."""
+    import json as _json
+    from pathlib import Path
+
+    rdir = Path(remotes_dir)
+    out = {}
+    for p in sorted(rdir.rglob("*.json")):
+        uri = "http://localhost:1234/" + p.relative_to(rdir).as_posix()
+        out[uri] = _json.loads(p.read_text())
+    return out

@@ -470,12 +470,17 @@ def validate_spans_best(df: DataFrame, schema_json: Any,
         return out.select(*keep, "valid", "violations")
 
 
-def suite_validator_udf(fuel: int = DEFAULT_FUEL):
+def suite_validator_udf(fuel: int = DEFAULT_FUEL,
+                        extra_registry: Optional[dict] = None):
     """(schema_json_str, instance_json_str) -> valid. Replays
     JSON-Schema-Test-Suite-shaped fixture tables through the Spark path in a
     single job; validators are cached per distinct schema per executor
-    (parity: compile-once-per-case, Harness/Harness.lean:15-16)."""
+    (parity: compile-once-per-case, Harness/Harness.lean:15-16).
+    ``extra_registry`` pre-registers remote documents (suite ``remotes/``
+    tree) on top of the draft-07 meta-schema; the plain-dict registry is
+    captured in the UDF closure and ships to executors with the task."""
     cache: dict[str, CompiledValidator] = {}
+    extra = dict(extra_registry) if extra_registry else None
 
     @pandas_udf("boolean")
     def _run(schemas: pd.Series, instances: pd.Series) -> pd.Series:
@@ -487,8 +492,11 @@ def suite_validator_udf(fuel: int = DEFAULT_FUEL):
             v = cache.get(s_raw)
             if v is None:
                 from ..metaschema import META_REGISTRY
+                reg = dict(META_REGISTRY)
+                if extra:
+                    reg.update(extra)
                 v = cache.setdefault(s_raw, CompiledValidator(
-                    json.loads(s_raw), fuel=fuel, registry=META_REGISTRY))
+                    json.loads(s_raw), fuel=fuel, registry=reg))
             out.append(v.is_valid(json.loads(i_raw)))
         return pd.Series(out, dtype="boolean")
 

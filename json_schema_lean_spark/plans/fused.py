@@ -82,6 +82,10 @@ def _resolve_once(comp: ColumnarCompiler, schema: Schema, base_uri: str,
         if got is None:
             raise FusedUnsupported(f"unresolvable ref {target!r}")
         schema, base_uri = got
+        # navigation returns the landed node's PARENT scope; apply the
+        # node's own $id exactly once (same contract as the interpreter)
+        if isinstance(schema, SchemaObject) and schema.id is not None:
+            base_uri = resolve_uri(base_uri, schema.id)
         depth += 1
     return schema, base_uri
 

@@ -165,12 +165,18 @@ def navigate_schema(raw_root: Any, tokens: list[str], base_uri: str) -> tuple[bo
     pending_container: Optional[str] = None  # map/list container we just entered
     i = 0
     while True:
+        if i >= len(tokens):
+            # the landed node's OWN $id is deliberately NOT folded here:
+            # consumers ($ref landing in the interpreter/compiler) re-enter
+            # the node and apply its $id exactly once, the same way normal
+            # keyword descent does — folding it here too double-applies
+            # relative folder ids ("baseUriChangeFolder/" twice; caught by
+            # the reconstructed refRemote suite, base-URI-change-folder case)
+            return True, cur, uri
         if at_schema and isinstance(cur, dict):
             nid = cur.get("$id")
             if isinstance(nid, str):
                 uri = resolve_uri(uri, nid)
-        if i >= len(tokens):
-            return True, cur, uri
         tok = tokens[i]
         i += 1
         found, nxt = navigate_json(cur, [tok])
@@ -250,6 +256,9 @@ def find_ref_cycle(resolver: Resolver) -> Optional[list[str]]:
         if got is None:
             return []
         schema, base = got
+        # landed node's own $id (navigation stops at the parent scope)
+        if isinstance(schema, SchemaObject) and schema.id is not None:
+            base = resolve_uri(base, schema.id)
         outs = []
         for ref in _evil_refs(schema):
             target = resolve_uri(base, ref)
