@@ -79,7 +79,9 @@ class CheckpointedValidation:
     def __init__(self, spark: SparkSession, input_path: str, schema_json: Any,
                  out_dir: str, spans_col: str = "spans",
                  keep_cols: Optional[list[str]] = None,
-                 files_per_unit: int = 32, run_id: str = "run-0") -> None:
+                 files_per_unit: int = 32, run_id: str = "run-0",
+                 range_partitions: int = 0,
+                 range_col: str = "doc_id") -> None:
         self.spark = spark
         self.input_path = input_path
         self.schema_json = schema_json
@@ -88,6 +90,16 @@ class CheckpointedValidation:
         self.keep_cols = keep_cols
         self.files_per_unit = files_per_unit
         self.run_id = run_id
+        # range_partitions > 0: commit each unit's output
+        # repartitionByRange(range_col) + sorted within partitions, so every
+        # output file covers a DISJOINT doc_id range (north_rule: "explicit
+        # repartitionByRange on doc_id"). At 100 TB this is what a downstream
+        # consumer wants — merge/join on doc_id without a shuffle-by-hash of
+        # the violation output, bounded file sizes, and range-prunable reads.
+        # Range (not hash) partitioning also defuses hot doc_id prefixes:
+        # the sampled range boundaries split dense key regions.
+        self.range_partitions = range_partitions
+        self.range_col = range_col
         self.validator_version = __version__
         self.schema_hash = _schema_hash(schema_json)
         os.makedirs(f"{out_dir}/manifest", exist_ok=True)
@@ -138,6 +150,10 @@ class CheckpointedValidation:
                 df, self.schema_json, spans_col=self.spans_col,
                 keep_cols=self.keep_cols)
             part_path = f"{self.out_dir}/parts/{unit_id}"
+            if self.range_partitions > 0:
+                out = (out.repartitionByRange(self.range_partitions,
+                                              self.range_col)
+                          .sortWithinPartitions(self.range_col))
             out.write.mode("overwrite").parquet(part_path)
             m = (self.spark.read.parquet(part_path)
                  .agg(F.count(F.lit(1)).alias("rows"),
@@ -149,7 +165,10 @@ class CheckpointedValidation:
                 "unit_id": unit_id,
                 "input_files": chunk,
                 "input_surrogate": surrogate,
-                "partition_spec": f"files[{self.files_per_unit}]",
+                "partition_spec": (
+                    f"files[{self.files_per_unit}]"
+                    + (f"/range({self.range_col},{self.range_partitions})"
+                       if self.range_partitions > 0 else "")),
                 "validator_version": self.validator_version,
                 "schema_hash": self.schema_hash,
                 "rows_scanned": m["rows"],

@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("--files-per-unit", type=int, default=32)
     ap.add_argument("--run-id", default="run-0")
     ap.add_argument("--max-units", type=int, default=None)
+    ap.add_argument("--range-partitions", type=int, default=0,
+                    help="if >0, commit each unit repartitionByRange(doc_id) "
+                         "into this many doc_id-disjoint, sorted output files")
+    ap.add_argument("--range-col", default="doc_id")
     ap.add_argument("--master", default=None,
                     help="override master (default: whatever spark-submit set)")
     args = ap.parse_args()
@@ -58,7 +62,8 @@ def main() -> None:
 
     ck = CheckpointedValidation(
         spark, args.input, schema, args.out, spans_col=args.spans_col,
-        files_per_unit=args.files_per_unit, run_id=args.run_id)
+        files_per_unit=args.files_per_unit, run_id=args.run_id,
+        range_partitions=args.range_partitions, range_col=args.range_col)
     report = ck.run(max_units=args.max_units)
     done = report.units_skipped + report.units_processed == report.units_total
     print(json.dumps({

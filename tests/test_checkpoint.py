@@ -96,3 +96,44 @@ def test_span_sequence_preserved_through_resume(spark, spans_path, tmp_path):
          tuple((s["kind"], s["text"], s["media_ref"]) for s in (r["spans"] or [])))
         for r in df.select("doc_id", "spans").collect())
     assert seq(ck.results()) == seq(spark.read.parquet(spans_path))
+
+
+def test_range_partitioned_output(spark, spans_path, tmp_path):
+    """range_partitions>0 commits each unit repartitionByRange(doc_id): rows
+    identical to the unpartitioned run, and every output FILE covers a
+    doc_id range disjoint from its siblings within the unit (range-prunable,
+    merge-join-friendly at scale)."""
+    import os
+
+    out_dir = str(tmp_path / "out_rp")
+    ck = CheckpointedValidation(spark, spans_path, SPAN_SCHEMA, out_dir,
+                                files_per_unit=4, range_partitions=3)
+    ck.run()
+    assert any("/range(doc_id,3)" in e["partition_spec"]
+               for e in ck.manifest())
+
+    got = canon(ck.results().collect())
+    fresh = canon(validate_documents_exploded(
+        spark.read.parquet(spans_path), SPAN_SCHEMA).collect())
+    assert got == fresh
+
+    # per-unit: files hold disjoint, internally sorted doc_id ranges
+    parts_dir = f"{out_dir}/parts"
+    checked_units = 0
+    for unit in sorted(os.listdir(parts_dir)):
+        files = [f for f in os.listdir(f"{parts_dir}/{unit}")
+                 if f.endswith(".parquet") and not f.startswith("_")]
+        spans = []
+        for fname in files:
+            rows = [r["doc_id"] for r in spark.read.parquet(
+                f"{parts_dir}/{unit}/{fname}").select("doc_id").collect()]
+            if not rows:
+                continue
+            assert rows == sorted(rows), (unit, fname)  # sortWithinPartitions
+            spans.append((min(rows), max(rows)))
+        spans.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, (unit, spans)  # disjoint ranges
+        if len(spans) > 1:
+            checked_units += 1
+    assert checked_units >= 1  # the disjointness assertion actually ran
