@@ -343,6 +343,54 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", winnow_fingerprint(F.col("text")).alias("winnow_fp"))
 
 
+def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata extraction, fully SQL-oracled: deterministic blob
+    synthesis (repeat(sha256(ref))) stands in for object-store reads, so the
+    columnar metadata path (byte length + content digest, no decode) can be
+    reproduced exactly in DuckDB."""
+    from json_schema_lean_spark.operators.multimodal import (
+        extract_media_meta,
+        synth_media_blobs,
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    refs = d.select(
+        F.concat(F.lit("asset://"), F.col("doc_id")).alias("media_ref"))
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.ascii(F.substring(F.md5(F.col("media_ref")), 1, 1)) % 3) + 1)
+    media = synth_media_blobs(refs.withColumn("media_kind", kind),
+                              hash_bits=256)
+    return extract_media_meta(media)
+
+
+def _q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video decode in the driver gate: synthesize YUV4MPEG2 streams
+    (varying geometry/colorspace/frame count per doc) executor-side, then
+    sample frames through the row-expanding mapInPandas path with the native
+    y4m decoder. Deterministic rows; no SQL oracle (frame bytes are not
+    SQL-expressible) — rows-only check."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from json_schema_lean_spark.operators.multimodal import sample_frames
+
+    def _mk_y4m(ids):
+        from json_schema_lean_spark.operators.multimodal import synth_y4m
+        cols = ["C420jpeg", "C422", "C444", "Cmono"]
+        return ids.map(lambda i: synth_y4m(
+            width=8 + (int(i) % 3) * 4, height=8, n_frames=4 + int(i) % 5,
+            seed=str(int(i)), colorspace=cols[int(i) % 4]))
+
+    from pyspark.sql.functions import PandasUDFType
+    mk_y4m = pandas_udf(_mk_y4m, "binary", PandasUDFType.SCALAR)
+
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .where(F.col("doc_id") < 64)
+         .select(F.concat(F.lit("vid://"), F.col("doc_id")).alias("media_ref"),
+                 mk_y4m(F.col("doc_id")).alias("media_bytes")))
+    return sample_frames(d, every_n=2, max_frames=3, decoder="real")
+
+
 STRICT_PROPS_SCHEMA = {
     "type": "object",
     "required": ["k"],
@@ -437,6 +485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "ngram_vocab": _q_ngram_vocab,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "media_meta": _q_media_meta,                  # full oracle
+        "media_frame_samples": _q_media_frame_samples,  # rows-only: real y4m decode
         "distinct_sources_per_lang": _q_distinct_sources_per_lang,
         "drift_click_vs_purchase": _q_drift_click_vs_purchase,
     }
@@ -549,6 +599,22 @@ def _simhash_oracle_sql(ngram: int = 2) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "media_meta": """
+            WITH refs AS (
+              SELECT 'asset://' || doc_id AS media_ref FROM documents
+            ), blobs AS (
+              SELECT media_ref,
+                     CASE (ascii(substr(md5(media_ref), 1, 1)) % 3)
+                       WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                       ELSE 'video' END AS media_kind,
+                     repeat(sha256(media_ref), 4) AS blob
+              FROM refs
+            )
+            SELECT media_ref, media_kind,
+                   CAST(length(blob) AS BIGINT) AS n_bytes,
+                   sha256(blob) AS content_sha256
+            FROM blobs
+        """,
         "minhash_pairs": _minhash_oracle_sql(32, 16),
         "simhash_groups": _simhash_oracle_sql(2),
         "validate_documents": f"""

@@ -50,12 +50,15 @@ FRAME_SAMPLE_SCHEMA = (
 
 
 def synth_media_blobs(df: DataFrame, ref_col: str = "media_ref",
-                      size: int = 256) -> DataFrame:
+                      size: int = 256, hash_bits: int = 512) -> DataFrame:
     """Attach a deterministic opaque binary payload per media_ref (test/bench
     stand-in for reading object-store bytes; content derives from the ref so
-    re-generation is stable)."""
-    blob = F.sha2(F.col(ref_col), 512).cast("binary")
-    # repeat to the requested size budget (binary concat)
+    re-generation is stable). ``hash_bits=256`` makes the blob reproducible
+    in DuckDB too (repeat(sha256(ref), size/64) — DuckDB has no sha512), so
+    downstream digests can be fully SQL-oracled."""
+    blob = F.sha2(F.col(ref_col), hash_bits).cast("binary")
+    # repeat to the requested size budget (binary concat); the repeated unit
+    # is the HEX digest string (64 chars for 256-bit), cast to utf-8 bytes
     reps = max(1, size // 64)
     return df.withColumn("media_bytes", F.concat(*([blob] * reps)))
 
