@@ -1,0 +1,91 @@
+"""IHOP stdin-harness protocol parity (scripts/harness_stdin.py vs
+/root/reference/Harness/Harness.lean). Drives the real subprocess once and
+the dispatch function directly for the protocol edge cases."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+SCRIPT = REPO / "scripts" / "harness_stdin.py"
+
+
+def _lines(*cmds):
+    return "\n".join(json.dumps(c) if isinstance(c, dict) else c
+                     for c in cmds) + "\n"
+
+
+def test_full_session_subprocess():
+    inp = _lines(
+        {"cmd": "start"},
+        {"cmd": "dialect", "dialect": "http://json-schema.org/draft-07/schema#"},
+        {"cmd": "run", "seq": 7, "case": {
+            "schema": {"type": "integer", "minimum": 2},
+            "tests": [{"instance": 3}, {"instance": 1}, {"instance": "x"}]}},
+        {"cmd": "run", "seq": 8, "case": {
+            "schema": {"$ref": "http://h/other.json"},
+            "registry": {"http://h/other.json": {"type": "string"}},
+            "tests": [{"instance": "ok"}, {"instance": 5}]}},
+        {"cmd": "stop"},
+        "",  # blank line terminates the repl, reference Harness.lean:46
+    )
+    out = subprocess.run([sys.executable, str(SCRIPT)], input=inp,
+                         capture_output=True, text=True, timeout=120)
+    lines = out.stdout.strip().splitlines()
+    assert len(lines) == 5, out.stdout + out.stderr
+
+    start = json.loads(lines[0])
+    assert start["version"] == 1
+    assert start["implementation"]["dialects"] == [
+        "http://json-schema.org/draft-07/schema#"]
+    assert json.loads(lines[1]) == {"ok": True}
+    assert json.loads(lines[2]) == {
+        "seq": 7, "results": [{"valid": True}, {"valid": False},
+                              {"valid": False}]}
+    assert json.loads(lines[3]) == {
+        "seq": 8, "results": [{"valid": True}, {"valid": False}]}
+    assert json.loads(lines[4]) == {}
+
+
+def test_dispatch_edges():
+    from scripts.harness_stdin import dispatch
+
+    assert dispatch('{"cmd":"nope"}') == "fatal error: unknown command:nope"
+    # cyclic $refs compile; fuel exhaustion yields valid:false per test
+    # ("Stack overflow" verdict semantics, Harness runs validate per test)
+    cyc = {"cmd": "run", "seq": 1, "case": {
+        "schema": {"$ref": "#/definitions/a",
+                   "definitions": {"a": {"$ref": "#/definitions/a"}}},
+        "tests": [{"instance": 1}]}}
+    assert json.loads(dispatch(json.dumps(cyc))) == {
+        "seq": 1, "results": [{"valid": False}]}
+    # malformed RunRequest (missing case) -> error string, repl survives
+    out = dispatch('{"cmd":"run","seq":2}')
+    assert "KeyError" in out
+    # malformed JSON line -> error string, not a crash
+    assert "{" not in dispatch("not json at all")
+
+
+def test_official_suite_through_harness_protocol():
+    """Replay a slice of the vendored suite (incl. refRemote with its
+    registry) through the protocol path, asserting every verdict."""
+    from scripts.harness_stdin import dispatch
+    from json_schema_lean_spark.metaschema import load_suite_remotes
+
+    remotes = load_suite_remotes(
+        REPO / "fixtures" / "suite_official" / "remotes")
+    files = [REPO / "fixtures" / "suite_official" / "draft7" / "ref.json",
+             REPO / "fixtures" / "suite_official" / "draft7" / "refremote"
+             / "refRemote.json"]
+    seq = 0
+    for f in files:
+        for case in json.loads(f.read_text()):
+            seq += 1
+            req = {"cmd": "run", "seq": seq, "case": {
+                "schema": case["schema"], "registry": remotes,
+                "tests": [{"instance": t["data"]} for t in case["tests"]]}}
+            got = json.loads(dispatch(json.dumps(req)))
+            assert got["seq"] == seq
+            assert [r["valid"] for r in got["results"]] == \
+                [t["valid"] for t in case["tests"]], (f.name, case["description"])
