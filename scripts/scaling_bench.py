@@ -82,7 +82,16 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+    # preserve hand-written analysis sections (cold/warm, skew, controls):
+    # regenerate only the header block up to the first "## " heading
+    tail = ""
+    baseline_path = f"{REPO}/BENCH/BASELINE.md"
+    if os.path.exists(baseline_path):
+        old = open(baseline_path).read()
+        idx = old.find("\n## ")
+        if idx >= 0:
+            tail = old[idx:]
+    with open(baseline_path, "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (north_rule)
 
 Identical job — fused-array columnar validation (verdicts + gated
@@ -104,8 +113,8 @@ steady-state behavior where the plan compiles once).
 The reference publishes no throughput numbers (see BASELINE.md); the verdict
 gate is violation-row exactness versus the Lean semantics (pytest suite) and
 this scaling criterion.
-""")
-    print(f"wrote {REPO}/BENCH/BASELINE.md")
+""" + tail)
+    print(f"wrote {baseline_path}")
 
 
 if __name__ == "__main__":
