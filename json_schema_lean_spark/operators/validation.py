@@ -32,6 +32,7 @@ from pyspark.sql.types import ArrayType
 
 from ..compiler import VIOLATION_SCHEMA, ColumnarCompiler, CompileFallback
 from ..interpreter import DEFAULT_FUEL, CompiledValidator
+from ..plan_cache import plan_memo
 from ..schema_ast import SchemaObject, parse_schema
 
 RESULT_SCHEMA = (
@@ -110,34 +111,55 @@ def validate_documents_exploded(
     if items is None or isinstance(items, list):
         raise CompileFallback("explode strategy needs Single-items semantics")
 
-    # --- doc-level plan: same schema minus the spans items subschema, but
-    # compiled with the ORIGINAL root registered so root-relative $refs
-    # (e.g. '#/properties/x') still resolve (ADVICE r1) -------------------
-    doc_schema_json = dict(parsed.raw)
-    doc_props = dict(doc_schema_json.get("properties", {}))
-    span_prop_doc = dict(span_prop)
-    span_prop_doc.pop("items", None)  # array-size keywords stay doc-level
-    doc_props[spans_col] = span_prop_doc
-    doc_schema_json["properties"] = doc_props
-    comp = ColumnarCompiler(schema_json, uri=uri, registry=registry,
-                            message_style=message_style)
-    doc_dtype = StructType([f for f in df.schema.fields])
-    doc_low = comp.lower_node(doc_schema_json, doc_dtype, base_uri=uri)
+    def build() -> dict:
+        # --- doc-level plan: same schema minus the spans items subschema,
+        # but compiled with the ORIGINAL root registered so root-relative
+        # $refs (e.g. '#/properties/x') still resolve (ADVICE r1) ---------
+        doc_schema_json = dict(parsed.raw)
+        doc_props = dict(doc_schema_json.get("properties", {}))
+        span_prop_doc = dict(span_prop)
+        span_prop_doc.pop("items", None)  # array-size keywords stay doc-level
+        doc_props[spans_col] = span_prop_doc
+        doc_schema_json["properties"] = doc_props
+        comp = ColumnarCompiler(schema_json, uri=uri, registry=registry,
+                                message_style=message_style)
+        doc_dtype = StructType([f for f in df.schema.fields])
+        doc_low = comp.lower_node(doc_schema_json, doc_dtype, base_uri=uri)
 
-    # --- span-level plan: items subschema against the element struct,
-    # lowered as a NODE of the root compiler (full resolver context) ------
-    elem_t = df.schema[spans_col].dataType.elementType
-    elem_low = comp.lower_node(items, elem_t, base_uri=comp.root_base_uri(),
-                               null_means="null")
+        # --- span-level plan: items subschema against the element struct,
+        # lowered as a NODE of the root compiler (full resolver context) --
+        elem_t = df.schema[spans_col].dataType.elementType
+        elem_low = comp.lower_node(items, elem_t,
+                                   base_uri=comp.root_base_uri(),
+                                   null_means="null")
+
+        instance = F.struct(*[F.col(c) for c in df.columns])
+        doc_valid = F.coalesce(doc_low.valid(instance), F.lit(False))
+        doc_viols = F.when(doc_valid, F.array().cast(VIOLATION_SCHEMA)) \
+                     .otherwise(doc_low.violations(instance, F.lit("")))
+        span_valid = F.when(F.col("_pos").isNull(), F.lit(True)) \
+                      .otherwise(F.coalesce(elem_low.valid(F.col("_span")),
+                                            F.lit(False)))
+        span_viols = F.when(span_valid, F.array().cast(VIOLATION_SCHEMA)) \
+                      .otherwise(elem_low.violations(
+                          F.col("_span"),
+                          F.concat(F.lit(f"/{spans_col}/"),
+                                   F.col("_pos").cast("string"))))
+        return {"dok": doc_valid, "dviols": doc_viols,
+                "sv": span_valid, "svv": span_viols}
+
+    # schema-derived Columns are unresolved and name-bound: memoized so a
+    # checkpointed run's per-unit loop (checkpointing.run) and repeat batches
+    # skip the py4j expression rebuild (plan_cache docstring)
+    plan = plan_memo("exploded", df, schema_json, registry,
+                     (spans_col, uri, message_style), build)
+    doc_valid, doc_viols = plan["dok"], plan["dviols"]
+    span_valid, span_viols = plan["sv"], plan["svv"]
 
     # doc-level checks are row-local: evaluate them BEFORE the explode so the
     # document (and its spans array) is never duplicated per span row. Only
     # light columns (keep_cols, doc verdict, doc violations) ride through the
     # generator; the shuffle payload is per-doc verdicts, not document bytes.
-    instance = F.struct(*[F.col(c) for c in df.columns])
-    doc_valid = F.coalesce(doc_low.valid(instance), F.lit(False))
-    doc_viols = F.when(doc_valid, F.array().cast(VIOLATION_SCHEMA)) \
-                 .otherwise(doc_low.violations(instance, F.lit("")))
     requested = keep_cols if keep_cols is not None else [df.columns[0]]
     keep = [c for c in requested if c != spans_col]
     # opting the spans column into the output carries the array through the
@@ -151,13 +173,6 @@ def validate_documents_exploded(
     base = pre.select("_rid", *keep, "_dok", "_dviols",
                       *(["_spans"] if keep_spans else []),
                       F.posexplode_outer("_spans").alias("_pos", "_span"))
-
-    span_valid = F.when(F.col("_pos").isNull(), F.lit(True)) \
-                  .otherwise(F.coalesce(elem_low.valid(F.col("_span")), F.lit(False)))
-    span_viols = F.when(span_valid, F.array().cast(VIOLATION_SCHEMA)) \
-                  .otherwise(elem_low.violations(
-                      F.col("_span"),
-                      F.concat(F.lit(f"/{spans_col}/"), F.col("_pos").cast("string"))))
 
     per_row = (base
                .select("_rid", *keep, "_dok", "_dviols", "_pos",
@@ -217,54 +232,72 @@ def violation_rows_fast(
     if items is None or isinstance(items, list):
         raise CompileFallback("violation_rows_fast needs Single-items semantics")
 
-    # doc-level plan (schema minus items) + span-level plan, as in the
-    # explode strategy: both lowered as NODES of the root compiler so
-    # root-relative $refs keep resolving (ADVICE r1)
-    doc_schema_json = dict(parsed.raw)
-    doc_props = dict(doc_schema_json.get("properties", {}))
-    span_prop_doc = dict(span_prop)
-    span_prop_doc.pop("items", None)
-    doc_props[spans_col] = span_prop_doc
-    doc_schema_json["properties"] = doc_props
-    comp = ColumnarCompiler(schema_json, uri=uri, registry=registry,
-                            message_style=message_style)
-    doc_dtype = StructType([f for f in df.schema.fields])
-    doc_low = comp.lower_node(doc_schema_json, doc_dtype, base_uri=uri)
+    def build() -> dict:
+        # doc-level plan (schema minus items) + span-level plan, as in the
+        # explode strategy: both lowered as NODES of the root compiler so
+        # root-relative $refs keep resolving (ADVICE r1)
+        doc_schema_json = dict(parsed.raw)
+        doc_props = dict(doc_schema_json.get("properties", {}))
+        span_prop_doc = dict(span_prop)
+        span_prop_doc.pop("items", None)
+        doc_props[spans_col] = span_prop_doc
+        doc_schema_json["properties"] = doc_props
+        comp = ColumnarCompiler(schema_json, uri=uri, registry=registry,
+                                message_style=message_style)
+        doc_dtype = StructType([f for f in df.schema.fields])
+        doc_low = comp.lower_node(doc_schema_json, doc_dtype, base_uri=uri)
 
-    elem_t = df.schema[spans_col].dataType.elementType
-    elem_low = comp.lower_node(items, elem_t, base_uri=comp.root_base_uri(),
-                               null_means="null")
+        elem_t = df.schema[spans_col].dataType.elementType
+        elem_low = comp.lower_node(items, elem_t,
+                                   base_uri=comp.root_base_uri(),
+                                   null_means="null")
+
+        instance = F.struct(*[F.col(c) for c in df.columns])
+        doc_valid = F.coalesce(doc_low.valid(instance), F.lit(False))
+        doc_viols = F.when(doc_valid, F.array().cast(VIOLATION_SCHEMA)) \
+                     .otherwise(doc_low.violations(instance, F.lit("")))
+
+        span_valid = F.when(F.col("_pos").isNull(), F.lit(True)) \
+                      .otherwise(F.coalesce(elem_low.valid(F.col("_span")),
+                                            F.lit(False)))
+        span_viols = F.when(span_valid, F.array().cast(VIOLATION_SCHEMA)) \
+                      .otherwise(elem_low.violations(
+                          F.col("_span"),
+                          F.concat(F.lit(f"/{spans_col}/"),
+                                   F.col("_pos").cast("string"))))
+        # doc-level violations attach exactly once per doc: on the first
+        # generator row (pos 0, or the null row for empty/null spans)
+        first_row = F.col("_pos").isNull() | (F.col("_pos") == 0)
+        all_viols = F.concat(
+            F.when(first_row, F.col("_dviols"))
+             .otherwise(F.array().cast(VIOLATION_SCHEMA)),
+            span_viols)
+        return {
+            "dviols": doc_viols.alias("_dviols"),
+            "posexp": F.posexplode_outer(F.col(spans_col))
+                       .alias("_pos", "_span"),
+            "v": all_viols.alias("_v"),
+            "span_idx": F.nullif(
+                F.regexp_extract(F.col("v.json_pointer"),
+                                 f"^/{spans_col}/(\\d+)", 1), F.lit(""))
+                .cast("int").alias("span_idx"),
+        }
+
+    # unresolved name-bound Columns: memoized per (schema, dtype, options) —
+    # repeat batches skip the py4j expression rebuild (plan_cache docstring).
+    # id_cols are plain strings passed straight to select, not part of the
+    # cached expressions.
+    plan = plan_memo("violation_rows_fast", df, schema_json, registry,
+                     (spans_col, uri, message_style), build)
 
     ids = id_cols if id_cols is not None else [df.columns[0]]
-    instance = F.struct(*[F.col(c) for c in df.columns])
-    doc_valid = F.coalesce(doc_low.valid(instance), F.lit(False))
-    doc_viols = F.when(doc_valid, F.array().cast(VIOLATION_SCHEMA)) \
-                 .otherwise(doc_low.violations(instance, F.lit("")))
-
-    base = df.select(*ids, doc_viols.alias("_dviols"),
-                     F.posexplode_outer(F.col(spans_col)).alias("_pos", "_span"))
-
-    span_valid = F.when(F.col("_pos").isNull(), F.lit(True)) \
-                  .otherwise(F.coalesce(elem_low.valid(F.col("_span")), F.lit(False)))
-    span_viols = F.when(span_valid, F.array().cast(VIOLATION_SCHEMA)) \
-                  .otherwise(elem_low.violations(
-                      F.col("_span"),
-                      F.concat(F.lit(f"/{spans_col}/"), F.col("_pos").cast("string"))))
-    # doc-level violations attach exactly once per doc: on the first
-    # generator row (pos 0, or the null row for empty/null spans)
-    first_row = F.col("_pos").isNull() | (F.col("_pos") == 0)
-    all_viols = F.concat(
-        F.when(first_row, F.col("_dviols")).otherwise(F.array().cast(VIOLATION_SCHEMA)),
-        span_viols)
-
-    flat = (base.select(*ids, F.col("_pos"), all_viols.alias("_v"))
+    base = df.select(*ids, plan["dviols"], plan["posexp"])
+    flat = (base.select(*ids, F.col("_pos"), plan["v"])
                 .where(F.size("_v") > 0)
                 .select(*ids, F.explode("_v").alias("v")))
     return flat.select(
         *ids,
-        F.nullif(F.regexp_extract(F.col("v.json_pointer"),
-                                  f"^/{spans_col}/(\\d+)", 1), F.lit(""))
-         .cast("int").alias("span_idx"),
+        plan["span_idx"],
         F.col("v.keyword").alias("keyword"),
         F.col("v.json_pointer").alias("json_pointer"),
         F.col("v.message").alias("message"),

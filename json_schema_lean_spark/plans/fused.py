@@ -54,6 +54,7 @@ from ..compiler import (
     _INTEGRAL,
     _static_type_names,
 )
+from ..plan_cache import plan_memo
 from ..resolver import resolve_uri
 from ..schema_ast import ABSENT, Schema, SchemaObject, parse_schema
 
@@ -312,40 +313,49 @@ def validate_documents_fused(
     if items is None or isinstance(items, list):
         raise FusedUnsupported("fused plan needs Single-items semantics")
 
-    comp = ColumnarCompiler(schema_json, uri=uri, registry=registry,
-                            message_style=message_style)
+    def build() -> dict:
+        comp = ColumnarCompiler(schema_json, uri=uri, registry=registry,
+                                message_style=message_style)
 
-    # doc-level plan = schema minus the items subschema (array-size keywords
-    # stay doc-level), lowered by the general compiler (scalar checks codegen)
-    doc_schema_json = dict(parsed.raw)
-    doc_props = dict(doc_schema_json.get("properties", {}))
-    span_prop_doc = dict(span_prop)
-    span_prop_doc.pop("items", None)
-    doc_props[spans_col] = span_prop_doc
-    doc_schema_json["properties"] = doc_props
-    dtype = StructType([f for f in df.schema.fields])
-    # lowered as a node of the root compiler: root-relative $refs resolve
-    doc_low = comp.lower_node(doc_schema_json, dtype, base_uri=uri)
+        # doc-level plan = schema minus the items subschema (array-size
+        # keywords stay doc-level), lowered by the general compiler
+        doc_schema_json = dict(parsed.raw)
+        doc_props = dict(doc_schema_json.get("properties", {}))
+        span_prop_doc = dict(span_prop)
+        span_prop_doc.pop("items", None)
+        doc_props[spans_col] = span_prop_doc
+        doc_schema_json["properties"] = doc_props
+        dtype = StructType([f for f in df.schema.fields])
+        # lowered as a node of the root compiler: root-relative $refs resolve
+        doc_low = comp.lower_node(doc_schema_json, dtype, base_uri=uri)
 
-    items_ast = parse_schema(items)
-    root_base = comp.root_base_uri()
-    elem_t = df.schema[spans_col].dataType.elementType
-    spans_ok = fused_items_verdict(comp, items_ast, root_base,
-                                   F.col(spans_col), elem_t)
-    # null array = absent key: items checks pass (type-guard semantics)
-    spans_ok = F.when(F.col(spans_col).isNull(), F.lit(True)) \
-                .otherwise(F.coalesce(spans_ok, F.lit(False)))
+        items_ast = parse_schema(items)
+        root_base = comp.root_base_uri()
+        elem_t = df.schema[spans_col].dataType.elementType
+        spans_ok = fused_items_verdict(comp, items_ast, root_base,
+                                       F.col(spans_col), elem_t)
+        # null array = absent key: items checks pass (type-guard semantics)
+        spans_ok = F.when(F.col(spans_col).isNull(), F.lit(True)) \
+                    .otherwise(F.coalesce(spans_ok, F.lit(False)))
 
-    instance = F.struct(*[F.col(c) for c in df.columns])
-    doc_valid = F.coalesce(doc_low.valid(instance), F.lit(False))
-    valid = doc_valid & F.coalesce(spans_ok, F.lit(False))
+        instance = F.struct(*[F.col(c) for c in df.columns])
+        doc_valid = F.coalesce(doc_low.valid(instance), F.lit(False))
+        valid = doc_valid & F.coalesce(spans_ok, F.lit(False))
 
+        cols = {"valid": valid}
+        if with_violations:
+            # full-detail collector from the general plan, evaluated lazily
+            # only when the fused verdict fails
+            full_low = comp.lower(dtype)
+            cols["violations"] = \
+                F.when(valid, F.array().cast(VIOLATION_SCHEMA)) \
+                 .otherwise(full_low.violations(instance, F.lit("")))
+        return cols
+
+    # the built Columns are unresolved (name-bound): memoize per (schema,
+    # dtype, options) so repeat batches of the same table shape skip the
+    # ~0.6 s py4j expression construction (plan_cache module docstring)
+    cols = plan_memo("fused", df, schema_json, registry,
+                     (spans_col, uri, with_violations, message_style), build)
     keep = keep_cols if keep_cols is not None else list(df.columns)
-    cols = {"valid": valid}
-    if with_violations:
-        # full-detail collector from the general plan, evaluated lazily only
-        # when the fused verdict fails
-        full_low = comp.lower(dtype)
-        cols["violations"] = F.when(valid, F.array().cast(VIOLATION_SCHEMA)) \
-            .otherwise(full_low.violations(instance, F.lit("")))
     return df.select(*keep, *[v.alias(k) for k, v in cols.items()])

@@ -68,6 +68,7 @@ from .compiler import (
     _viol,
     _viol_col,
 )
+from .plan_cache import plan_memo
 from .resolver import DEFAULT_URI, Resolver, find_ref_cycle, resolve_uri
 from .schema_ast import ABSENT, Schema, SchemaObject, parse_schema
 
@@ -1104,63 +1105,79 @@ def validate_json_column_variant(df, json_col: str, schema_json: Any,
     (validate_json_column): NULL input -> NULL verdict; unparseable JSON ->
     invalid with a ``$parse`` violation. Raises CompileFallback outside the
     variant-lowerable subset."""
-    comp = VariantCompiler(schema_json, uri=uri, registry=registry,
-                           message_style=message_style)
-    raw = F.col(json_col)
+    def build() -> dict:
+        comp = VariantCompiler(schema_json, uri=uri, registry=registry,
+                               message_style=message_style)
+        raw = F.col(json_col)
 
-    # Generate barrier (measured 3x at sf0.1): projections INLINE aliased
-    # expressions at every reference — Catalyst has no common-subexpression
-    # reuse for interpreted expressions — so lowering directly over
-    # try_parse_json(raw) would re-parse the JSON at every keyword leaf.
-    # explode(array(x)) routes the parse through a Generate node whose
-    # output is a real attribute; the parse then runs exactly once per row
-    # (array always has 1 element, so no rows are added or dropped).
-    tmp = "_jsl_variant"
-    while tmp in df.columns or tmp + "_kids" in df.columns:
-        tmp += "_"
-    base = df.select("*", F.explode(F.array(F.try_parse_json(raw))).alias(tmp))
-    v = F.col(tmp)
+        # Generate barrier (measured 3x at sf0.1): projections INLINE aliased
+        # expressions at every reference — Catalyst has no common-subexpression
+        # reuse for interpreted expressions — so lowering directly over
+        # try_parse_json(raw) would re-parse the JSON at every keyword leaf.
+        # explode(array(x)) routes the parse through a Generate node whose
+        # output is a real attribute; the parse then runs exactly once per row
+        # (array always has 1 element, so no rows are added or dropped).
+        tmp = "_jsl_variant"
+        while tmp in df.columns or tmp + "_kids" in df.columns:
+            tmp += "_"
+        b1 = F.explode(F.array(F.try_parse_json(raw))).alias(tmp)
+        v = F.col(tmp)
+
+        # second barrier: pre-navigate the ROOT object's property/required
+        # children once per row (each `$.k` navigation otherwise re-walks the
+        # variant binary at every keyword leaf referencing that child)
+        s = comp.schema
+        child_names: list[str] = []
+        if isinstance(s, SchemaObject) and s.ref is None:
+            seen = set()
+            for name, _sub in (s.properties or []):
+                if name not in seen:
+                    seen.add(name)
+                    child_names.append(name)
+            for name in (s.required or []):
+                if name not in seen:
+                    seen.add(name)
+                    child_names.append(name)
+        b2 = None
+        if child_names and len(child_names) <= 64:
+            ctmp = tmp + "_kids"
+            b2 = F.explode(F.array(F.struct(
+                *[_child(v, n).alias(f"c{i}")
+                  for i, n in enumerate(child_names)]))).alias(ctmp)
+            comp.child_columns = {
+                n: F.col(ctmp).getField(f"c{i}")
+                for i, n in enumerate(child_names)}
+        low = comp.lower()
+
+        ok = F.coalesce(low.valid(v), F.lit(False))
+        valid = (F.when(raw.isNull(), F.lit(None).cast("boolean"))
+                  .when(v.isNull(), F.lit(False))
+                  .otherwise(ok))
+        viols = None
+        if not verdict_only:
+            viols = (F.when(raw.isNull(), F.lit(None).cast(VIOLATION_SCHEMA))
+                      .when(v.isNull(),
+                            F.array(_viol("$parse", F.lit(""), "invalid JSON")))
+                      .when(ok, F.array().cast(VIOLATION_SCHEMA))
+                      .otherwise(low.violations(v, F.lit(""))))
+        return {"b1": b1, "b2": b2, "valid": valid, "viols": viols}
+
+    # unresolved name-bound Columns (barrier aliases are derived
+    # deterministically from df.columns, which the dtype key covers):
+    # memoized so repeat batches skip the py4j expression rebuild
+    plan = plan_memo("variant", df, schema_json, registry,
+                     (json_col, uri, verdict_only, message_style), build)
+
+    base = df.select("*", plan["b1"])
+    if plan["b2"] is not None:
+        base = base.select("*", plan["b2"])
 
     # match the Arrow path's withColumns contract: pre-existing valid /
     # violations columns are REPLACED, not duplicated
     out_cols = [c for c in df.columns
                 if c not in ("valid",) + (() if verdict_only
                                           else ("violations",))]
-
-    # second barrier: pre-navigate the ROOT object's property/required
-    # children once per row (each `$.k` navigation otherwise re-walks the
-    # variant binary at every keyword leaf referencing that child)
-    s = comp.schema
-    child_names: list[str] = []
-    if isinstance(s, SchemaObject) and s.ref is None:
-        seen = set()
-        for name, _sub in (s.properties or []):
-            if name not in seen:
-                seen.add(name)
-                child_names.append(name)
-        for name in (s.required or []):
-            if name not in seen:
-                seen.add(name)
-                child_names.append(name)
-    if child_names and len(child_names) <= 64:
-        ctmp = tmp + "_kids"
-        base = base.select("*", F.explode(F.array(F.struct(
-            *[_child(v, n).alias(f"c{i}")
-              for i, n in enumerate(child_names)]))).alias(ctmp))
-        comp.child_columns = {
-            n: F.col(ctmp).getField(f"c{i}")
-            for i, n in enumerate(child_names)}
-    low = comp.lower()
-
-    ok = F.coalesce(low.valid(v), F.lit(False))
-    valid = (F.when(raw.isNull(), F.lit(None).cast("boolean"))
-              .when(v.isNull(), F.lit(False))
-              .otherwise(ok))
     if verdict_only:
-        return base.select(*out_cols, valid.alias("valid"))
-    viols = (F.when(raw.isNull(), F.lit(None).cast(VIOLATION_SCHEMA))
-              .when(v.isNull(), F.array(_viol("$parse", F.lit(""), "invalid JSON")))
-              .when(ok, F.array().cast(VIOLATION_SCHEMA))
-              .otherwise(low.violations(v, F.lit(""))))
-    return base.select(*out_cols, valid.alias("valid"),
-                       viols.alias("violations"))
+        return base.select(*out_cols, plan["valid"].alias("valid"))
+    return base.select(*out_cols, plan["valid"].alias("valid"),
+                       plan["viols"].alias("violations"))
