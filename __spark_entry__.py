@@ -363,6 +363,56 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(media)
 
 
+def _q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode in the driver gate: deterministic 24-bit BMPs built
+    executor-side, decoded by the hand-parsed BMP reader through mapInPandas
+    (width/height/channels/mean_luma/sharpness). Rows-only: pixel math over
+    hash-noise bytes is not SQL-expressible."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from json_schema_lean_spark.operators.multimodal import image_features
+
+    def _mk_bmp(ids):
+        from json_schema_lean_spark.operators.multimodal import synth_bmp
+        return ids.map(lambda i: synth_bmp(
+            width=4 + int(i) % 5, height=3 + int(i) % 4, seed=str(int(i))))
+
+    mk_bmp = pandas_udf(_mk_bmp, "binary", PandasUDFType.SCALAR)
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .where(F.col("doc_id") < 96)
+         .select(F.concat(F.lit("img://"), F.col("doc_id")).alias("media_ref"),
+                 mk_bmp(F.col("doc_id")).alias("media_bytes")))
+    out = image_features(d, decoder="real")
+    return out.select("media_ref", "width", "height", "channels",
+                      F.round("mean_luma", 6).alias("mean_luma"),
+                      F.round("sharpness", 6).alias("sharpness"))
+
+
+def _q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode in the driver gate: deterministic 16-bit PCM WAVs
+    (seeded sine, varying length) decoded via the stdlib-wave reader through
+    mapInPandas (sample_rate/n_samples/rms). Rows-only."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from json_schema_lean_spark.operators.multimodal import audio_features
+
+    def _mk_wav(ids):
+        from json_schema_lean_spark.operators.multimodal import synth_wav
+        return ids.map(lambda i: synth_wav(
+            n_samples=400 + int(i) % 7 * 100, rate=8000 + int(i) % 3 * 4000,
+            seed=str(int(i))))
+
+    mk_wav = pandas_udf(_mk_wav, "binary", PandasUDFType.SCALAR)
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .where(F.col("doc_id") < 96)
+         .select(F.concat(F.lit("wav://"), F.col("doc_id")).alias("media_ref"),
+                 mk_wav(F.col("doc_id")).alias("media_bytes")))
+    out = audio_features(d, decoder="real")
+    return out.select("media_ref", "sample_rate", "n_samples",
+                      F.round("rms", 6).alias("rms"))
+
+
 def _q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real video decode in the driver gate: synthesize YUV4MPEG2 streams
     (varying geometry/colorspace/frame count per doc) executor-side, then
@@ -487,6 +537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "media_meta": _q_media_meta,                  # full oracle
         "media_frame_samples": _q_media_frame_samples,  # rows-only: real y4m decode
+        "media_image_features": _q_media_image_features,  # rows-only: real bmp decode
+        "media_audio_features": _q_media_audio_features,  # rows-only: real wav decode
         "distinct_sources_per_lang": _q_distinct_sources_per_lang,
         "drift_click_vs_purchase": _q_drift_click_vs_purchase,
     }
