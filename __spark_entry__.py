@@ -368,7 +368,6 @@ def _q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor-side, decoded by the hand-parsed BMP reader through mapInPandas
     (width/height/channels/mean_luma/sharpness). Rows-only: pixel math over
     hash-noise bytes is not SQL-expressible."""
-    import pandas as pd
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     from json_schema_lean_spark.operators.multimodal import image_features
@@ -419,7 +418,6 @@ def _q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample frames through the row-expanding mapInPandas path with the native
     y4m decoder. Deterministic rows; no SQL oracle (frame bytes are not
     SQL-expressible) — rows-only check."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from json_schema_lean_spark.operators.multimodal import sample_frames
@@ -990,8 +988,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT max(na)::BIGINT AS n_a,
                    max(nb)::BIGINT AS n_b,
                    round(max(abs(ca * 1.0 / na - cb * 1.0 / nb)), 6) AS ks_stat,
-                   round(sum(pow(cnt_a - cnt_b * na * 1.0 / nb, 2)
-                             / (cnt_b * na * 1.0 / nb)), 6) AS chi2_stat,
+                   round(sum(
+                     pow(cnt_a - (cnt_a + cnt_b) * na * 1.0 / (na + nb), 2)
+                       / ((cnt_a + cnt_b) * na * 1.0 / (na + nb))
+                     + pow(cnt_b - (cnt_a + cnt_b) * nb * 1.0 / (na + nb), 2)
+                       / ((cnt_a + cnt_b) * nb * 1.0 / (na + nb))), 6)
+                     AS chi2_stat,
                    (count(*) - 1)::BIGINT AS dof
             FROM cum
         """,

@@ -160,7 +160,15 @@ def lean_compress_typed(c: Column, dtype: DataType) -> Column:
     - strings escape through Spark's JSON writer (same mandatory-escape
       set as json.dumps(ensure_ascii=False));
     - map keys escape backslash + quote only (runtime; control characters
-      in keys are out of scope — documented)."""
+      in keys are out of scope — documented);
+    - a NULL column at a null_means='null' position renders ``null`` (r3
+      review fix: Boolean rendered 'false', String '' and Struct '{}' for
+      null values before the top-level guard below)."""
+    return F.when(c.isNull(), F.lit("null")) \
+            .otherwise(_lean_compress_typed_nonnull(c, dtype))
+
+
+def _lean_compress_typed_nonnull(c: Column, dtype: DataType) -> Column:
     if isinstance(dtype, BooleanType):
         return F.when(c, F.lit("true")).otherwise(F.lit("false"))
     if isinstance(dtype, _INTEGRAL):

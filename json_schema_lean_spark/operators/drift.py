@@ -150,6 +150,29 @@ def ks_significant(d: float, na: int, nb: int, alpha: float = 0.01) -> bool:
     return d > c_alpha * math.sqrt((na + nb) / (na * nb))
 
 
+def pooled_chi_square_from_histograms(a: list[int], b: list[int]) -> tuple[float, int]:
+    """Standard two-sample homogeneity chi-square: expected counts from the
+    POOLED proportions, so a bin present in either sample always has a
+    positive expected value. Bins empty in both samples contribute nothing
+    and don't count toward dof. This is the reference implementation for
+    :func:`two_sample_drift`'s in-plan statistic."""
+    na, nb = sum(a), sum(b)
+    if na == 0 or nb == 0:
+        return 0.0, 0
+    n = na + nb
+    stat = 0.0
+    dof = -1
+    for o_a, o_b in zip(a, b):
+        t = o_a + o_b
+        if t == 0:
+            continue
+        ea = t * na / n
+        eb = t * nb / n
+        stat += (o_a - ea) ** 2 / ea + (o_b - eb) ** 2 / eb
+        dof += 1
+    return stat, max(dof, 1)
+
+
 def chi_square_from_histograms(observed: list[int], expected: list[int]) -> tuple[float, int]:
     """Chi-square statistic of observed vs expected (expected rescaled to the
     observed total; zero-expected bins merged into their neighbor)."""
@@ -233,12 +256,16 @@ def two_sample_drift(df: DataFrame, value_col: str, split_col,
     plan (no driver-side collect), so it composes with checkpointing and
     DuckDB oracles.
 
-    Semantics match the driver-side helpers on dense histograms:
-    KS = max CDF gap (:func:`ks_from_histograms`); chi-square = plain
-    Pearson sum with B rescaled to A's total — equal to
-    :func:`chi_square_from_histograms` whenever every expected bin
-    clears the >=5 merge threshold (pinned in tests). Rows where either
-    column is NULL are excluded; values clamp into the edge bins."""
+    Semantics: KS = max CDF gap (:func:`ks_from_histograms`); chi-square =
+    the standard two-sample homogeneity statistic with expected counts from
+    POOLED proportions (:func:`pooled_chi_square_from_histograms`, pinned in
+    tests). Pooled expected is never zero for a bin present in either sample
+    — so a bucket populated ONLY in sample A (the strongest drift signal)
+    contributes fully instead of dividing by a zero expected (the
+    rescale-B-to-A form silently dropped such bins to SQL NULL). If either
+    sample is empty both statistics come back NULL — undefined, reported
+    loudly rather than as fake zero drift. Rows where either column is NULL
+    are excluded; values clamp into the edge bins."""
     from pyspark.sql.window import Window
 
     width = (hi - lo) / nbins
@@ -259,14 +286,22 @@ def two_sample_drift(df: DataFrame, value_col: str, split_col,
                .withColumn("cb", F.sum("cnt_b").over(w_cum))
                .withColumn("na", F.sum("cnt_a").over(w_all))
                .withColumn("nb", F.sum("cnt_b").over(w_all)))
-    exp_b = F.col("cnt_b") * F.col("na") / F.col("nb")  # B rescaled to A
+    tot = F.col("cnt_a") + F.col("cnt_b")          # > 0 for every grouped bin
+    n = F.col("na") + F.col("nb")
+    exp_a = tot * F.col("na") / n                   # pooled expected counts
+    exp_b = tot * F.col("nb") / n
+    # try_divide: with a non-empty bin and both samples populated every
+    # divisor is > 0; an EMPTY sample makes the statistics undefined and
+    # must surface as NULL, not an ANSI divide-by-zero job failure
     return cum.agg(
         F.max("na").cast("long").alias("n_a"),
         F.max("nb").cast("long").alias("n_b"),
-        F.round(F.max(F.abs(F.col("ca") / F.col("na")
-                            - F.col("cb") / F.col("nb"))),
+        F.round(F.max(F.abs(F.try_divide(F.col("ca"), F.col("na"))
+                            - F.try_divide(F.col("cb"), F.col("nb")))),
                 round_to).alias("ks_stat"),
-        F.round(F.sum(F.pow(F.col("cnt_a") - exp_b, F.lit(2)) / exp_b),
+        F.round(F.sum(
+            F.try_divide(F.pow(F.col("cnt_a") - exp_a, F.lit(2)), exp_a)
+            + F.try_divide(F.pow(F.col("cnt_b") - exp_b, F.lit(2)), exp_b)),
                 round_to).alias("chi2_stat"),
         (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
     )

@@ -8,9 +8,12 @@ input columns by NAME — so re-validating another batch of the same table
 shape (the normal case: streaming micro-batches, checkpointed unit loops,
 bench re-runs) can reuse them verbatim.
 
-Key includes the py4j gateway id: a restarted JVM invalidates every cached
-JavaObject handle, so entries from a previous gateway can never be returned.
-Capped FIFO; `stats` counts hits/misses for tests and debugging.
+Key includes the py4j gateway OBJECT (not its id(): a new gateway allocated
+after the old one is garbage-collected can reuse the integer id, which would
+let stale Column plans bound to a dead JVM come back as hits — r3 review).
+Holding the gateway in the key keeps its identity unique for the entry's
+lifetime; the FIFO cap bounds how long a dead gateway can stay pinned.
+`stats` counts hits/misses for tests and debugging.
 """
 
 from __future__ import annotations
@@ -37,7 +40,8 @@ def plan_memo(kind: str, df: DataFrame, schema_json: Any,
     """Return builder()'s result, memoized on everything the built Columns
     can depend on. builder exceptions propagate and are not cached."""
     sc = df.sparkSession.sparkContext
-    key = (kind, id(sc._gateway), _canon(schema_json), df.schema.json(),
+    gateway = sc._gateway  # keyed by identity; strong ref prevents id reuse
+    key = (kind, gateway, _canon(schema_json), df.schema.json(),
            _canon(registry) if registry else None, parts)
     with _LOCK:
         if key in _CACHE:

@@ -83,11 +83,14 @@ def _resolve_once(comp: ColumnarCompiler, schema: Schema, base_uri: str,
         if got is None:
             raise FusedUnsupported(f"unresolvable ref {target!r}")
         schema, base_uri = got
-        # navigation returns the landed node's PARENT scope; apply the
-        # node's own $id exactly once (same contract as the interpreter)
-        if isinstance(schema, SchemaObject) and schema.id is not None:
-            base_uri = resolve_uri(base_uri, schema.id)
         depth += 1
+    # navigation returns the landed node's PARENT scope; the node's own $id
+    # applies exactly once — and only when no sibling $ref overrides it
+    # ($ref-first contract, interpreter.py:227-240). A mid-chain node with
+    # both $id and $ref resolves its ref against the PARENT scope, which is
+    # why the fold happens after the chase loop, not inside it.
+    if isinstance(schema, SchemaObject) and schema.id is not None:
+        base_uri = resolve_uri(base_uri, schema.id)
     return schema, base_uri
 
 

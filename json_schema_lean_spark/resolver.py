@@ -256,8 +256,11 @@ def find_ref_cycle(resolver: Resolver) -> Optional[list[str]]:
         if got is None:
             return []
         schema, base = got
-        # landed node's own $id (navigation stops at the parent scope)
-        if isinstance(schema, SchemaObject) and schema.id is not None:
+        # landed node's own $id (navigation stops at the parent scope) —
+        # but a sibling $ref overrides it: that ref resolves against the
+        # parent scope, same as interpreter.py:227-240
+        if isinstance(schema, SchemaObject) and schema.ref is None \
+                and schema.id is not None:
             base = resolve_uri(base, schema.id)
         outs = []
         for ref in _evil_refs(schema):

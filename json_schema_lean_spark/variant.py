@@ -36,11 +36,14 @@ runtime error (never a wrong verdict), while const/enum use the literal's
 exact depth so deeper instances simply compare not-equal.
 
 Recursive ``$ref``s unroll: each resolved ref target may repeat up to
-MAX_VARIANT_DEPTH times along one inline chain; past that the leaf raises a
-loud runtime error if (and only if) an instance actually nests that deep —
-matching the interpreter's fuel semantics (error, not a verdict) at a lower
-bound. Acyclic-but-too-branchy ref graphs exhaust the node budget and fall
-back.
+MAX_VARIANT_DEPTH times along one inline chain; past that the leaf fires
+only when an instance actually nests that deep — by default a loud runtime
+error, or verdict-False + ``$recursion`` violation with
+``deep_ref_behavior="invalid"``. Both deliberately diverge from the
+interpreter there (its fuel=1000 reaches far deeper and exhausts as an
+invalid VERDICT, interpreter.py:201-209) — loud beats silently wrong; see
+_too_deep_leaf. Acyclic-but-too-branchy ref graphs exhaust the node budget
+and fall back.
 
 The only remaining CompileFallback routes to the Arrow interpreter: evil
 $ref cycles (rejected at compile time, like the columnar path), non-Java
@@ -246,16 +249,38 @@ def _ts_is_num(ts: Column) -> Column:
     return ts.rlike("^(BIGINT$|INT$|SMALLINT$|TINYINT$|DOUBLE$|FLOAT$|DECIMAL)")
 
 
-def _too_deep_leaf(ref_key: str) -> Lowered:
+def _too_deep_leaf(ref_key: str, behavior: str = "error") -> Lowered:
     """Leaf emitted past MAX_VARIANT_DEPTH unrolls of a recursive $ref.
-    Raises a loud runtime error if — and only if — an instance actually
-    nests that deep (absent values pass like every keyword; CASE WHEN
-    branches evaluate lazily, so shallow instances never touch it).
-    Mirrors the interpreter's fuel semantics (error, not a verdict) at a
-    lower bound."""
+    Touched if — and only if — an instance actually nests that deep (absent
+    values pass like every keyword; CASE WHEN branches evaluate lazily, so
+    shallow instances never reach it).
+
+    NOTE on interpreter parity (r3 review): the interpreter's fuel=1000
+    exhausts as a ``$recursion`` VIOLATION (invalid verdict, not an error,
+    interpreter.py:201-209) and is far deeper than MAX_VARIANT_DEPTH, so no
+    bounded unroll can match its verdicts for depth 25..1000 instances.
+    Both available behaviors are therefore deliberate divergences at depth
+    > MAX_VARIANT_DEPTH, chosen for being LOUD rather than silently wrong:
+
+    - ``behavior="error"`` (default): raise, aborting the job. Never emits
+      a wrong verdict; one pathological row costs the batch.
+    - ``behavior="invalid"``: verdict False + a ``$recursion`` violation
+      naming the depth bound. Keeps the batch alive; deep rows are flagged
+      for re-validation via the Arrow interpreter (prefer_variant=False).
+    """
     msg = (f"variant path unrolled $ref {ref_key!r} {MAX_VARIANT_DEPTH} "
            "times; instances nesting deeper must validate via the Arrow "
            "interpreter (prefer_variant=False)")
+
+    if behavior == "invalid":
+        def valid(v: Column) -> Column:
+            return F.when(v.isNull(), F.lit(True)).otherwise(F.lit(False))
+
+        def violations(v: Column, p: Column) -> Column:
+            return F.when(v.isNull(), F.array().cast(VIOLATION_SCHEMA)) \
+                    .otherwise(F.array(_viol("$recursion", p, msg)))
+
+        return Lowered(valid=valid, violations=violations)
 
     def valid(v: Column) -> Column:
         return F.when(v.isNull(), F.lit(True)) \
@@ -310,13 +335,17 @@ def _py_depth(value: Any) -> int:
 _CANON_LIT_CACHE: dict[str, str] = {}
 
 
-def _ensure_analyzer_budget(min_iters: int = 1000) -> None:
+def _ensure_analyzer_budget(min_iters: int = 1000, spark=None) -> None:
     """Nested HOF lambdas resolve one level per analyzer Resolution pass, so
     a depth-24 canonicalizer (± the schema's own nesting) overruns Spark's
     default 100-iteration cap. The cap is a plain runtime SQLConf — raise it
-    on the active session before emitting deep canon expressions."""
-    from pyspark.sql import SparkSession
-    spark = SparkSession.getActiveSession()
+    on the session that will ANALYZE the plan. Callers holding a DataFrame
+    pass its own session: a plan-cache hit from a different session (e.g.
+    spark.newSession()) skips the compiler, so the budget must be ensured
+    per consuming session, not only at build time (r3 review)."""
+    if spark is None:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
     if spark is None:
         return
     key = "spark.sql.analyzer.maxIterations"
@@ -359,7 +388,14 @@ class VariantCompiler:
         registry: Optional[dict[str, Any]] = None,
         child_columns: Optional[dict[str, Column]] = None,
         message_style: str = "structured",
+        deep_ref_behavior: str = "error",
     ) -> None:
+        #: past-MAX_VARIANT_DEPTH / past-MAX_CANON_DEPTH instance behavior:
+        #: "error" = loud job abort (never a wrong verdict, the default);
+        #: "invalid" = verdict False + $recursion violation (batch survives,
+        #: deep rows flagged for interpreter re-validation) — see
+        #: _too_deep_leaf for why neither can match interpreter fuel=1000
+        self.deep_ref_behavior = deep_ref_behavior
         #: "structured" or "reference" (byte-parity Lean reportError strings,
         #: offending value compressed in at runtime — _lean_compress_variant)
         self.message_style = message_style
@@ -454,7 +490,7 @@ class VariantCompiler:
             sub, new_uri = got
             key = f"{root}#{'/'.join(subpath)}"
             if chain.count(key) >= MAX_VARIANT_DEPTH:
-                return _too_deep_leaf(key)
+                return _too_deep_leaf(key, self.deep_ref_behavior)
             return self._lower(sub, new_uri, chain + (key,))
 
         if s.id is not None:
@@ -896,12 +932,15 @@ class VariantCompiler:
                         "canonicalize it — validate via the Arrow "
                         "interpreter (prefer_variant=False)")
 
+            too_deep = (F.lit(False).cast("boolean")
+                        if self.deep_ref_behavior == "invalid"
+                        else F.raise_error(F.lit(deep_msg)).cast("boolean"))
+
             def uniq(arr: Column) -> Column:
                 return _let(
                     F.transform(arr, lambda e: _canon(e, MAX_CANON_DEPTH)),
                     lambda canons: F.when(
-                        F.exists(canons, lambda c: c.isNull()),
-                        F.raise_error(F.lit(deep_msg)).cast("boolean"))
+                        F.exists(canons, lambda c: c.isNull()), too_deep)
                     .otherwise(F.size(F.array_distinct(canons))
                                == F.size(canons)))
 
@@ -1099,7 +1138,8 @@ def validate_json_column_variant(df, json_col: str, schema_json: Any,
                                  registry: Optional[dict[str, Any]] = None,
                                  uri: str = DEFAULT_URI,
                                  verdict_only: bool = False,
-                                 message_style: str = "structured"):
+                                 message_style: str = "structured",
+                                 deep_ref_behavior: str = "error"):
     """Variant-path validation of a JSON string column. Adds ``valid`` (+
     ``violations`` unless verdict_only). Contract matches the Arrow path
     (validate_json_column): NULL input -> NULL verdict; unparseable JSON ->
@@ -1107,7 +1147,8 @@ def validate_json_column_variant(df, json_col: str, schema_json: Any,
     variant-lowerable subset."""
     def build() -> dict:
         comp = VariantCompiler(schema_json, uri=uri, registry=registry,
-                               message_style=message_style)
+                               message_style=message_style,
+                               deep_ref_behavior=deep_ref_behavior)
         raw = F.col(json_col)
 
         # Generate barrier (measured 3x at sf0.1): projections INLINE aliased
@@ -1166,7 +1207,11 @@ def validate_json_column_variant(df, json_col: str, schema_json: Any,
     # deterministically from df.columns, which the dtype key covers):
     # memoized so repeat batches skip the py4j expression rebuild
     plan = plan_memo("variant", df, schema_json, registry,
-                     (json_col, uri, verdict_only, message_style), build)
+                     (json_col, uri, verdict_only, message_style,
+                      deep_ref_behavior), build)
+    # per-consuming-session, not only at build time: a cache hit from a
+    # sibling session never ran the compiler's budget raise
+    _ensure_analyzer_budget(spark=df.sparkSession)
 
     base = df.select("*", plan["b1"])
     if plan["b2"] is not None:

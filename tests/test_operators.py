@@ -89,10 +89,34 @@ def test_two_sample_drift_matches_python_helpers(spark):
     assert out["n_a"] == sum(a) == 800
     assert out["n_b"] == sum(b) == 600
     assert out["ks_stat"] == round(drift_ops.ks_from_histograms(a, b), 6)
-    chi, dof = drift_ops.chi_square_from_histograms(a, b)
-    assert out["chi2_stat"] == round(chi, 6)
+    chi, dof = drift_ops.pooled_chi_square_from_histograms(a, b)
+    assert abs(out["chi2_stat"] - chi) < 1e-5
     assert out["dof"] == dof
     assert out["ks_stat"] > 0.05  # the shifted windows genuinely differ
+
+
+def test_two_sample_drift_bin_only_in_one_sample_counts(spark):
+    """Regression (r3 review): a bucket populated ONLY in sample A used to
+    divide by a zero expected count, go SQL NULL, and vanish from the sum —
+    reporting near-zero drift for a categorically drifted distribution. The
+    pooled form must both count it and match the reference helper."""
+    rows = ([(5.0, True)] * 500 + [(55.0, True)] * 500
+            + [(55.0, False)] * 600)  # bucket 0: A only
+    df = spark.createDataFrame(rows, "value double, is_a boolean")
+    out = drift_ops.two_sample_drift(df, "value", "is_a", 0.0, 100.0,
+                                     nbins=2).collect()[0]
+    chi, dof = drift_ops.pooled_chi_square_from_histograms([500, 500],
+                                                           [0, 600])
+    assert out["chi2_stat"] is not None and out["chi2_stat"] > 100
+    assert abs(out["chi2_stat"] - chi) < 1e-5
+    assert out["dof"] == dof == 1
+
+    # empty sample B: statistics are undefined -> NULL, not fake zero
+    df_a_only = spark.createDataFrame([(5.0, True)] * 10,
+                                      "value double, is_a boolean")
+    out = drift_ops.two_sample_drift(df_a_only, "value", "is_a",
+                                     0.0, 100.0, nbins=2).collect()[0]
+    assert out["chi2_stat"] is None and out["ks_stat"] is None
 
 
 def test_two_sample_drift_identical_split_is_zero(spark):

@@ -208,3 +208,26 @@ def test_structured_style_unchanged_by_default(spark):
     out = validate_dataframe(df, {"type": "string"}, doc_col="k")
     [row] = out.select("violations").collect()
     assert row["violations"][0]["message"] == "expected one of ['string']"
+
+
+def test_null_values_render_null_in_reference_messages(spark):
+    """r3 review fix: a JSON null at a violating position must render as
+    ``null`` in reference-style messages on the columnar path (previously
+    'false' for boolean dtype, '' for string, '{}' for struct)."""
+    cases = [
+        ({"items": {"type": "string"}}, ["a", None]),
+        ({"items": {"type": "boolean"}}, [True, None]),
+        ({"items": {"type": "integer"}}, [1, None]),
+        ({"items": {"type": "object"}}, [{"k": 1}, None]),
+    ]
+    bad = []
+    for schema, instance in cases:
+        exp = _interp_ref_messages(schema, instance)
+        assert exp and any("null" in m for _k, _p, m in exp), exp
+        got_c = _columnar_ref_messages(spark, schema, instance)
+        if got_c != exp:
+            bad.append(("columnar", schema, exp, got_c))
+        got_v = _variant_ref_messages(spark, schema, instance)
+        if got_v != exp:
+            bad.append(("variant", schema, exp, got_v))
+    assert not bad, bad

@@ -150,3 +150,38 @@ def test_landed_id_applied_exactly_once():
     v = CompiledValidator(schema, registry=reg)
     assert v.is_valid({"v": 3})
     assert not v.is_valid({"v": "x"})
+
+
+def test_ref_sibling_id_resolves_against_parent_scope():
+    """A node carrying BOTH $id and $ref: the $ref resolves against the
+    PARENT scope ($ref-first, interpreter.py:227-240) — the node's own $id
+    must not rebase it. Pinned on interpreter AND the fused compile-time
+    resolver, with a decoy document registered at the would-be-double-rebased
+    URI so a divergence flips the verdict instead of erroring."""
+    from json_schema_lean_spark.plans.fused import _resolve_once
+    from json_schema_lean_spark.compiler import ColumnarCompiler
+    from json_schema_lean_spark.schema_ast import SchemaObject, parse_schema
+
+    root = {
+        "$id": "http://t.test/root.json",
+        "definitions": {
+            "both": {"$id": "sub/", "$ref": "leaf.json"},
+        },
+    }
+    reg = {
+        "http://t.test/leaf.json": {"type": "integer"},       # correct target
+        "http://t.test/sub/leaf.json": {"type": "string"},    # decoy
+    }
+    v = CompiledValidator({**root, "$ref": "#/definitions/both"},
+                          registry=reg)
+    assert v.is_valid(3) and not v.is_valid("x")
+
+    comp = ColumnarCompiler(root, registry=reg)
+    landed, base = _resolve_once(comp, parse_schema(
+        {"$ref": "#/definitions/both"}), comp.root_base_uri())
+    assert isinstance(landed, SchemaObject)
+    assert list(landed.types) == ["integer"], (landed.types, base)
+
+    # cycle detector walks the same contract without false cycles
+    from json_schema_lean_spark.resolver import find_ref_cycle
+    assert find_ref_cycle(comp.resolver) is None

@@ -609,3 +609,38 @@ def test_min_max_contains_all_paths(spark):
                     vdf, "props", schema, verdict_only=True).collect()}
         for i, (arr, expected) in enumerate(data):
             assert vout[i] == expected, ("variant", schema, arr)
+
+
+def test_deep_ref_behavior_invalid_keeps_batch_alive(spark):
+    """r3 review: deep_ref_behavior='invalid' marks a past-the-bound row
+    invalid with a $recursion violation instead of aborting the whole batch
+    (the default 'error' stays loud). Shallow rows in the same batch keep
+    their correct verdicts either way."""
+    schema = {
+        "definitions": {"node": {
+            "type": "object",
+            "properties": {"next": {"$ref": "#/definitions/node"},
+                           "v": {"type": "integer"}}}},
+        "$ref": "#/definitions/node",
+    }
+
+    def nested(depth):
+        doc = {"v": 1}
+        for _ in range(depth):
+            doc = {"next": doc, "v": 1}
+        return doc
+
+    from json_schema_lean_spark.variant import MAX_VARIANT_DEPTH
+    rows = [(json.dumps(nested(2)),), (json.dumps(nested(MAX_VARIANT_DEPTH + 2)),),
+            (json.dumps({"v": "bad"}),)]
+    df = spark.createDataFrame(rows, "j string")
+    out = validate_json_column_variant(
+        df, "j", schema, deep_ref_behavior="invalid").collect()
+    assert out[0]["valid"] is True
+    assert out[1]["valid"] is False
+    assert [x["keyword"] for x in out[1]["violations"]] == ["$recursion"]
+    assert out[2]["valid"] is False  # shallow invalid row unaffected
+
+    # default stays the loud error
+    with pytest.raises(Exception, match="prefer_variant=False"):
+        validate_json_column_variant(df, "j", schema).collect()
