@@ -156,6 +156,18 @@ def main() -> None:
         span_media_integrity(spans, asset_catalog(spark))))
 
     total = round(sum(timings.values()), 3)
+    # surface the latest two-parallelism scaling evidence (north_rule
+    # criterion; produced by scripts/scaling_bench.py into BENCH/BASELINE.md)
+    # directly in the bench JSON so one artifact carries both
+    import re as _re
+    try:
+        _b = open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "BASELINE.md")).read()
+        _m = _re.search(r"scaling efficiency: ([0-9.]+)", _b)
+        if _m:
+            extras["scaling_efficiency_low_to_high_cores"] = float(_m.group(1))
+    except OSError:
+        pass
     print(json.dumps({
         "metric": "headline_total_sec",
         "value": total,

@@ -445,20 +445,26 @@ def validate_json_column(df: DataFrame, json_col: str, schema_json: Any,
                          uri: str = "", fuel: int = DEFAULT_FUEL,
                          verdict_only: bool = False,
                          prefer_variant: bool = True,
-                         message_style: str = "structured") -> DataFrame:
+                         message_style: str = "structured",
+                         deep_ref_behavior: str = "error") -> DataFrame:
     """Validation of a JSON string column. Adds valid (+ violations unless
     verdict_only).
 
     Route order (VERDICT r1 #3): the VARIANT path first — ``try_parse_json``
-    + JVM variant expressions, no Python per value (variant.py) — then the
-    Arrow-batch interpreter for schemas outside the variant subset
-    (uniqueItems, deep const/enum, recursive $refs)."""
+    + JVM variant expressions, no Python per value (variant.py; since r3 it
+    covers uniqueItems, deep const/enum, and bounded recursive $refs too) —
+    then the Arrow-batch interpreter for the rare remainder (evil ref
+    cycles, non-transpilable regexes, node-budget exhaustion).
+    ``deep_ref_behavior`` controls past-MAX_VARIANT_DEPTH instances on the
+    variant path: "error" (loud, default) or "invalid" (verdict False +
+    $recursion violation; see variant._too_deep_leaf)."""
     if prefer_variant:
         from ..variant import validate_json_column_variant
         try:
             return validate_json_column_variant(
                 df, json_col, schema_json, registry=registry, uri=uri,
-                verdict_only=verdict_only, message_style=message_style)
+                verdict_only=verdict_only, message_style=message_style,
+                deep_ref_behavior=deep_ref_behavior)
         except CompileFallback:
             pass
     if verdict_only:
