@@ -69,3 +69,33 @@ def test_fused_cache_row_identical(spark):
         docs, SPAN_SCHEMA, keep_cols=["doc_id"]).collect())
     assert plan_cache.stats["hits"] >= 1
     assert a == b
+
+
+def test_cache_hit_from_sibling_session_gets_analyzer_budget(spark):
+    """r3 review fix: a deep-canonicalizer plan built in session A and
+    cache-hit from spark.newSession() must still raise B's analyzer
+    iteration budget (B's SQLConf starts at the 100 default; the compiler
+    that raises it never runs on a hit)."""
+    import json as _json
+
+    from json_schema_lean_spark.variant import validate_json_column_variant
+
+    schema = {"type": "array", "uniqueItems": True}  # deep canonicalizer
+    deep = [[[[[[[[[[[[[[[[[[[[1]]]]]]]]]]]]]]]]]]]]  # 20 levels
+    rows = [(_json.dumps([deep, deep]),), (_json.dumps([1, 2]),)]
+
+    a = spark
+    df_a = a.createDataFrame(rows, "j string")
+    out_a = {r["j"]: r["valid"] for r in
+             validate_json_column_variant(df_a, "j", schema).collect()}
+
+    b = spark.newSession()
+    assert int(b.conf.get("spark.sql.analyzer.maxIterations", "100")) <= 200
+    df_b = b.createDataFrame(rows, "j string")
+    before_hits = plan_cache.stats["hits"]
+    out_b = {r["j"]: r["valid"] for r in
+             validate_json_column_variant(df_b, "j", schema).collect()}
+    assert plan_cache.stats["hits"] > before_hits  # really exercised the hit
+    assert out_b == out_a
+    assert out_b[_json.dumps([deep, deep])] is False  # duplicates detected
+    assert out_b[_json.dumps([1, 2])] is True
