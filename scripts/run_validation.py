@@ -46,6 +46,11 @@ def main() -> None:
     ap.add_argument("--range-col", default="doc_id")
     ap.add_argument("--master", default=None,
                     help="override master (default: whatever spark-submit set)")
+    ap.add_argument("--driver-memory", default=None,
+                    help="driver heap for LOCAL runs (the builder launches "
+                         "the JVM, so the conf takes effect; under "
+                         "spark-submit pass --driver-memory to spark-submit "
+                         "instead — a post-launch conf set is ignored)")
     args = ap.parse_args()
 
     schema = SPAN_SCHEMA if args.schema == "-" else json.loads(
@@ -54,6 +59,8 @@ def main() -> None:
     builder = SparkSession.builder.appName("json-schema-lean-spark-validate")
     if args.master:
         builder = builder.master(args.master)
+    if args.driver_memory:
+        builder = builder.config("spark.driver.memory", args.driver_memory)
     spark = (builder
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.adaptive.skewJoin.enabled", "true")
