@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import __version__
-from .operators.validation import validate_documents_exploded
+from .operators.validation import validate_spans_best
 
 
 def _schema_hash(schema_json: Any) -> str:
@@ -146,9 +146,15 @@ class CheckpointedValidation:
                 break
             t0 = time.perf_counter()
             df = self.spark.read.parquet(*chunk)
-            out = validate_documents_exploded(
+            # strategy chain (fused zero-shuffle first; r3 — was pinned to
+            # the explode strategy). keep_cols default stays "first column
+            # only": fused's own default of all columns would carry the
+            # spans arrays into every unit's output
+            keep = (self.keep_cols if self.keep_cols is not None
+                    else [df.columns[0]])
+            out = validate_spans_best(
                 df, self.schema_json, spans_col=self.spans_col,
-                keep_cols=self.keep_cols)
+                keep_cols=keep)
             part_path = f"{self.out_dir}/parts/{unit_id}"
             if self.range_partitions > 0:
                 out = (out.repartitionByRange(self.range_partitions,
