@@ -161,12 +161,13 @@ def main() -> None:
     # directly in the bench JSON so one artifact carries both
     import re as _re
     try:
-        _b = open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH", "BASELINE.md")).read()
-        _m = _re.search(r"scaling efficiency: ([0-9.]+)", _b)
+        _bp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH", "BASELINE.md")
+        with open(_bp) as _f:
+            _m = _re.search(r"scaling efficiency: ([0-9]+\.[0-9]+)", _f.read())
         if _m:
             extras["scaling_efficiency_low_to_high_cores"] = float(_m.group(1))
-    except OSError:
+    except Exception:  # the scrape must never cost a finished bench run
         pass
     print(json.dumps({
         "metric": "headline_total_sec",

@@ -23,4 +23,8 @@ Architecture (Spark-first, NOT a port):
 - ``checkpointing`` — per-partition manifest + resume.
 """
 
-__version__ = "0.1.0"
+# 0.2.0: checkpoint units validate via the strategy chain (fused plan
+# when eligible) — violation-array ordering inside a part can differ
+# from 0.1.0's explode-pinned output, so the lineage gate must re-run
+# any unit committed by an older validator rather than mix formats
+__version__ = "0.2.0"

@@ -457,7 +457,11 @@ def validate_json_column(df: DataFrame, json_col: str, schema_json: Any,
     cycles, non-transpilable regexes, node-budget exhaustion).
     ``deep_ref_behavior`` controls past-MAX_VARIANT_DEPTH instances on the
     variant path: "error" (loud, default) or "invalid" (verdict False +
-    $recursion violation; see variant._too_deep_leaf)."""
+    $recursion violation; see variant._too_deep_leaf). It has no effect
+    when the Arrow interpreter runs (CompileFallback or
+    prefer_variant=False): that path validates deep instances EXACTLY
+    under the reference's fuel semantics, so its verdicts are the more
+    faithful ones, not a dropped option."""
     if prefer_variant:
         from ..variant import validate_json_column_variant
         try:
@@ -488,7 +492,14 @@ def validate_spans_best(df: DataFrame, schema_json: Any,
     """Best-available strategy chain for spans-shaped document tables:
     fused-array (codegen, zero shuffle) -> explode+agg (codegen, verdict
     shuffle) -> forall projection (interpreted HOF, zero shuffle). All three
-    are verdict- and violation-equivalent (pytest-pinned)."""
+    are verdict- and violation-equivalent (pytest-pinned).
+
+    keep_cols=None means ALL input columns on every branch (normalized
+    here; the explode strategy's own light-columns default applies only
+    when it is called directly — r3 review: the chain's output schema must
+    not depend on which strategy happened to compile)."""
+    if keep_cols is None:
+        keep_cols = list(df.columns)
     from ..plans.fused import FusedUnsupported, validate_documents_fused
     try:
         return validate_documents_fused(df, schema_json, spans_col=spans_col,

@@ -9,7 +9,6 @@ flips a verdict instead of erroring out."""
 import itertools
 import json
 
-import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType
 
@@ -47,19 +46,20 @@ TARGETS = [
 
 
 def combos():
+    seen = set()
     for tid, mid, target in itertools.product(IDS, MIDS, TARGETS):
+        tgt = dict(target)
+        if tid is not None:
+            tgt["$id"] = tid  # replaces a target-level $id: distinct cases
         root = {
             "$id": BASE,
-            "definitions": {"mid": dict(mid), "target": dict(target)},
+            "definitions": {"mid": dict(mid), "target": tgt},
             "$ref": "#/definitions/mid",
         }
-        if tid is not None:
-            root["definitions"] = {
-                "mid": dict(mid),
-                "target": {"$id": tid, **target} if "$id" not in target
-                else dict(target),
-            }
-        yield root
+        key = json.dumps(root, sort_keys=True)
+        if key not in seen:   # duplicates would double-count coverage
+            seen.add(key)
+            yield root
 
 
 INSTANCES = [3, "x"]
@@ -68,7 +68,7 @@ INSTANCES = [3, "x"]
 def expected_interp(root):
     try:
         v = CompiledValidator(root, registry=REGISTRY)
-    except (SchemaCycleError, Exception) as e:
+    except Exception as e:
         if "cycle" in str(e).lower() or isinstance(e, SchemaCycleError):
             return None
         raise
@@ -77,7 +77,10 @@ def expected_interp(root):
 
 def test_id_ref_combinations_agree_across_paths(spark):
     cases = list(combos())
-    assert len(cases) == len(IDS) * len(MIDS) * len(TARGETS)
+    # distinct roots only; tid=None keeps each target's own $id and
+    # tid="sub/" collides with targets already carrying "sub/", so the
+    # distinct count (44 at introduction) sits below the 64-cell matrix
+    assert len(cases) >= 44, len(cases)
 
     variant_rows = []   # (idx, lowered, expected)
     columnar_checked = 0
