@@ -496,3 +496,35 @@ def test_lsh_topk_banded_recall_vs_brute(spark):
     approx2 = {(r["query_id"], r["neighbor_id"])
                for r in lsh_topk_banded(emb, q, dim=64, k=5).collect()}
     assert approx == approx2
+
+
+def test_two_sample_drift_randomized_matches_pooled_helper(spark):
+    """Randomized histograms (sparse bins, one-sided bins, size imbalance)
+    must reproduce pooled_chi_square_from_histograms / ks_from_histograms
+    through the DataFrame plan exactly."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        nbins = rng.choice([3, 5, 8])
+        width = 100.0 / nbins
+        a = [rng.choice([0, 0, rng.randint(1, 80)]) for _ in range(nbins)]
+        b = [rng.choice([0, rng.randint(1, 60)]) for _ in range(nbins)]
+        if sum(a) == 0 or sum(b) == 0:
+            continue
+        rows = []
+        for i, n in enumerate(a):
+            rows += [(i * width + 0.5, True)] * n
+        for i, n in enumerate(b):
+            rows += [(i * width + 0.5, False)] * n
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "value double, is_a boolean")
+        out = drift_ops.two_sample_drift(df, "value", "is_a", 0.0, 100.0,
+                                         nbins=nbins, round_to=6).collect()[0]
+        # align helper inputs to bins PRESENT in the grouped histogram
+        chi, dof = drift_ops.pooled_chi_square_from_histograms(a, b)
+        ks = drift_ops.ks_from_histograms(a, b)
+        assert abs(out["chi2_stat"] - chi) < 1e-4, (seed, out, chi)
+        assert abs(out["ks_stat"] - ks) < 1e-6, (seed, out, ks)
+        assert out["dof"] == dof, (seed, out["dof"], dof)
+        assert out["n_a"] == sum(a) and out["n_b"] == sum(b)
