@@ -68,17 +68,27 @@ def test_dispatch_edges():
 
 
 def test_official_suite_through_harness_protocol():
-    """Replay a slice of the vendored suite (incl. refRemote with its
-    registry) through the protocol path, asserting every verdict."""
+    """Replay the ENTIRE vendored conformance corpus (home-grown + official
+    draft7 + optional/ + refRemote with its remotes registry) through the
+    protocol path, asserting every verdict. The one known-difference case
+    (optional/float-overflow, reference Float semantics) is mapped the same
+    way the driver gate maps it."""
     from scripts.harness_stdin import dispatch
     from json_schema_lean_spark.metaschema import load_suite_remotes
 
     remotes = load_suite_remotes(
         REPO / "fixtures" / "suite_official" / "remotes")
-    files = [REPO / "fixtures" / "suite_official" / "draft7" / "ref.json",
-             REPO / "fixtures" / "suite_official" / "draft7" / "refremote"
-             / "refRemote.json"]
+    fixtures = REPO / "fixtures"
+    dirs = [fixtures / "suite", fixtures / "suite_official" / "draft7",
+            fixtures / "suite_official" / "draft7" / "optional",
+            fixtures / "suite_official" / "draft7" / "refremote"]
+    known_diff = {("float-overflow",
+                   "valid if optional overflow handling is implemented"):
+                  False}
+    files = sorted(p for d in dirs for p in d.glob("*.json"))
+    assert len(files) >= 46
     seq = 0
+    n_verdicts = 0
     for f in files:
         for case in json.loads(f.read_text()):
             seq += 1
@@ -87,5 +97,9 @@ def test_official_suite_through_harness_protocol():
                 "tests": [{"instance": t["data"]} for t in case["tests"]]}}
             got = json.loads(dispatch(json.dumps(req)))
             assert got["seq"] == seq
-            assert [r["valid"] for r in got["results"]] == \
-                [t["valid"] for t in case["tests"]], (f.name, case["description"])
+            expected = [known_diff.get((f.stem, t["description"]), t["valid"])
+                        for t in case["tests"]]
+            assert [r["valid"] for r in got["results"]] == expected, \
+                (f.name, case["description"])
+            n_verdicts += len(expected)
+    assert n_verdicts >= 970, n_verdicts
