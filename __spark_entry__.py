@@ -343,6 +343,23 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", winnow_fingerprint(F.col("text")).alias("winnow_fp"))
 
 
+def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup GROUPS from MinHash candidate pairs: pointer-
+    jumping connected components (operators/graph.py) — the pairs→groups
+    half of a production dedup retention policy. Fully oracled: DuckDB
+    reproduces the identical pairs (portable md5 pipeline) and closes them
+    with a recursive CTE."""
+    from json_schema_lean_spark.operators.dedup import minhash_candidate_pairs
+    from json_schema_lean_spark.operators.graph import connected_components
+
+    d = _docs(spark, sf_dir)
+    pairs = minhash_candidate_pairs(d, "text", "doc_id", k=32, bands=16,
+                                    ngram=3, portable=True)
+    return connected_components(pairs).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"))
+
+
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata extraction, fully SQL-oracled: deterministic blob
     synthesis (repeat(sha256(ref))) stands in for object-store reads, so the
@@ -522,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess_counts": _q_lang_guess_counts,
         "nchars_histogram": _q_nchars_histogram,
         "minhash_pairs": _q_minhash_pairs,      # portable md5 hash: full oracle
+        "near_dup_components": _q_near_dup_components,  # CC over pairs: full oracle
         "simhash_groups": _q_simhash_groups,    # portable md5 hash: full oracle
         "embedding_near_dups": _q_embedding_near_dups,
         "users_click_and_purchase": _q_users_click_and_purchase,
@@ -571,17 +589,18 @@ def _lsh_near_dup_oracle() -> str:
                                    bands=12, planes_per_band=4)
 
 
-def _minhash_oracle_sql(k: int = 32, bands: int = 16) -> str:
-    """Generated DuckDB SQL reproducing the portable-hash MinHash-LSH
-    pipeline exactly (same md5-based hashes, same banding, same Jaccard)."""
+def _minhash_cte(k: int = 32, bands: int = 16) -> str:
+    """Shared DuckDB CTE prefix reproducing the portable-hash MinHash-LSH
+    candidate pipeline (same md5-based hashes, same banding) up to the
+    ``pairs``/``dg`` relations; composed by the pairs and components
+    oracles."""
     h = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
     mins = ",\n               ".join(
         "list_min(list_transform(g, x -> "
         + h.format(x=f"x || '#{i}'") + "))"
         for i in range(k))
     rpb = k // bands
-    return f"""
-        WITH toks AS (
+    return f"""toks AS (
           SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
           FROM documents),
         grams AS (
@@ -603,7 +622,13 @@ def _minhash_oracle_sql(k: int = 32, bands: int = 16) -> str:
           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
           FROM banded l JOIN banded r
             ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
-        dg AS (SELECT doc_id, list_distinct(g) AS dgrams FROM grams)
+        dg AS (SELECT doc_id, list_distinct(g) AS dgrams FROM grams)"""
+
+
+def _minhash_oracle_sql(k: int = 32, bands: int = 16) -> str:
+    """Candidate pairs + exact Jaccard over the shared MinHash CTEs."""
+    return f"""
+        WITH {_minhash_cte(k, bands)}
         SELECT p.id_a, p.id_b,
                round(CASE WHEN (len(a.dgrams) + len(b.dgrams)
                                - len(list_intersect(a.dgrams, b.dgrams))) > 0
@@ -614,6 +639,28 @@ def _minhash_oracle_sql(k: int = 32, bands: int = 16) -> str:
         FROM pairs p
         JOIN dg a ON a.doc_id = p.id_a
         JOIN dg b ON b.doc_id = p.id_b
+    """
+
+
+def _near_dup_components_oracle_sql(k: int = 32, bands: int = 16) -> str:
+    """Transitive closure over the SAME candidate pairs via a recursive CTE
+    (tractable at oracle scale; the Spark side uses pointer-jumping min
+    propagation instead — closure materialization is quadratic per
+    component and would not survive 100 TB)."""
+    return f"""
+        WITH RECURSIVE {_minhash_cte(k, bands)},
+        e2 AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM e2
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a
+        )
+        SELECT a AS doc_id,
+               CAST(least(a, min(b)) AS BIGINT) AS component
+        FROM reach GROUP BY a
     """
 
 
@@ -666,6 +713,7 @@ def oracle_sql() -> dict[str, str]:
             FROM blobs
         """,
         "minhash_pairs": _minhash_oracle_sql(32, 16),
+        "near_dup_components": _near_dup_components_oracle_sql(32, 16),
         "simhash_groups": _simhash_oracle_sql(2),
         "validate_documents": f"""
             SELECT doc_id, ({_VALID_DOC_EXPR}) AS valid FROM documents

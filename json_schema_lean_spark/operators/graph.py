@@ -1,0 +1,79 @@
+"""Connected components over candidate-pair edges — the pairs→GROUPS half
+of a production dedup pipeline (MinHash/SimHash emit candidate PAIRS;
+retention policy needs transitive GROUPS: keep one doc per component).
+
+Algorithm: iterative min-label propagation with POINTER JUMPING
+(label <- label(label)), the DataFrame form of the large-star/small-star
+technique (Kiveris et al., "Connected Components in MapReduce and Beyond").
+Plain neighbor propagation alone needs O(diameter) rounds — a pathological
+near-dup CHAIN of n docs would need n rounds at 100 TB; pointer jumping
+halves the remaining distance to the component minimum every round, so
+convergence is O(log n) rounds regardless of shape. Each round is two
+shuffles (a join + a min-aggregation) over (node, label) pairs only —
+never over document bytes.
+
+Per-round ``localCheckpoint`` truncates the lineage (an iterative plan
+otherwise grows by two joins per round, and Catalyst re-analysis cost
+compounds); on a cluster with a checkpoint dir, ``df.checkpoint`` is the
+durable equivalent. Convergence is detected by an exact checksum of the
+label assignment (sum of xxhash64(node, label)) going stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iters: int = 25) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component =
+    the minimum node id in its connected component (deterministic).
+    Singletons (docs in no pair) are not emitted — union them in as
+    identity rows if the retention policy needs every doc."""
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+                .where(F.col("a").isNotNull() & F.col("b").isNotNull()))
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+             .distinct()
+
+    labels = (sym.select(F.col("a").alias("node"))
+                 .distinct()
+                 .withColumn("comp", F.col("node"))
+                 .localCheckpoint())
+
+    prev_sum = None
+    for _ in range(max_iters):
+        # neighbor propagation: every node offers its label to neighbors
+        msgs = (sym.join(labels, sym["a"] == labels["node"])
+                   .select(F.col("b").alias("node"), F.col("comp")))
+        labels = (labels.select("node", "comp").union(msgs)
+                        .groupBy("node").agg(F.min("comp").alias("comp")))
+        # pointer jumping: comp <- comp(comp); halves distance to the min
+        jump = labels.select(F.col("node").alias("jnode"),
+                             F.col("comp").alias("jcomp"))
+        labels = (labels.join(jump, labels["comp"] == jump["jnode"])
+                        .select("node", F.col("jcomp").alias("comp"))
+                        .localCheckpoint())
+        # bit_xor: order-independent and overflow-free (ANSI sum of hashes
+        # throws ARITHMETIC_OVERFLOW); (node, comp) rows are unique so no
+        # xor cancellation, and count changes are caught by the hash change
+        cur = labels.agg(
+            F.expr("bit_xor(xxhash64(node, comp))")).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def dedup_keep_min(edges: DataFrame, all_ids: DataFrame, id_col: str,
+                   src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Retention policy over near-dup components: every id from ``all_ids``
+    with its component representative (min id; identity for singletons) and
+    a ``keep`` flag. The survivor set is ``where(keep)``."""
+    comp = connected_components(edges, src=src, dst=dst)
+    out = (all_ids.select(F.col(id_col))
+                  .join(comp, all_ids[id_col] == comp["node"], "left")
+                  .select(F.col(id_col),
+                          F.coalesce(F.col("component"),
+                                     F.col(id_col)).alias("component")))
+    return out.withColumn("keep", F.col(id_col) == F.col("component"))
