@@ -67,3 +67,40 @@ def test_variant_json_validation_streams(spark, tmp_path_factory):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path_factory):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on the batch
+    fingerprint) keeps exactly one row per distinct normalized text when
+    all duplicates arrive within the horizon — same survivor COUNT as
+    batch exact_dedup over the same files, and bounded state."""
+    from json_schema_lean_spark.operators.dedup import exact_dedup
+    from json_schema_lean_spark.streaming.dedup_stream import exact_dedup_stream
+
+    path = str(tmp_path_factory.mktemp("stream") / "docs")
+    rows = []
+    for i in range(120):
+        rows.append((i, f"unique text {i % 40}",   # each text repeated 3x
+                     f"2024-01-01 00:{i % 50:02d}:00"))
+    df = (spark.createDataFrame(rows, "doc_id long, text string, ts string")
+               .withColumn("ts", F.col("ts").cast("timestamp")))
+    df.repartition(3).write.parquet(path)
+
+    batch_survivors = exact_dedup(
+        spark.read.parquet(path), "text", "doc_id").count()
+    assert batch_survivors == 40
+
+    stream_df = (spark.readStream.schema(spark.read.parquet(path).schema)
+                 .option("maxFilesPerTrigger", 1).parquet(path))
+    out = exact_dedup_stream(stream_df, "text", "ts", watermark="1 hour")
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("dedup_stream")
+            .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select count(*) n, count(distinct text) d from dedup_stream"
+        ).collect()[0]
+    finally:
+        q.stop()
+    assert got["n"] == got["d"] == batch_survivors
