@@ -343,6 +343,15 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", winnow_fingerprint(F.col("text")).alias("winnow_fp"))
 
 
+def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-tolerant SimHash near-dup pairs: banded Hamming bucket join
+    (pigeonhole recall for distance <= bands-1) + bit_count(xor) verify,
+    fully DuckDB-oracled via the portable md5 hash."""
+    from json_schema_lean_spark.operators.dedup import simhash_near_pairs
+    return simhash_near_pairs(_docs(spark, sf_dir), "text", "doc_id",
+                              max_hamming=8, bands=12, portable=True)
+
+
 def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup GROUPS from MinHash candidate pairs: pointer-
     jumping connected components (operators/graph.py) — the pairs→groups
@@ -541,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,      # portable md5 hash: full oracle
         "near_dup_components": _q_near_dup_components,  # CC over pairs: full oracle
         "simhash_groups": _q_simhash_groups,    # portable md5 hash: full oracle
+        "simhash_near_pairs": _q_simhash_near_pairs,  # banded hamming: full oracle
         "embedding_near_dups": _q_embedding_near_dups,
         "users_click_and_purchase": _q_users_click_and_purchase,
         "event_value_percentiles": _q_event_value_percentiles,
@@ -664,16 +674,16 @@ def _near_dup_components_oracle_sql(k: int = 32, bands: int = 16) -> str:
     """
 
 
-def _simhash_oracle_sql(ngram: int = 2) -> str:
-    """Generated DuckDB SQL reproducing the portable-hash SimHash grouping
-    exactly (bits 0..59; the md5-based hash has 60 effective bits)."""
+def _simhash_cte(ngram: int = 2) -> str:
+    """Shared DuckDB CTE prefix computing the portable-hash SimHash per doc
+    (bits 0..59; the md5-based hash has 60 effective bits) up to the ``sh``
+    relation; composed by the grouping and near-pairs oracles."""
     h = "CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)"
     bit_terms = " + ".join(
         f"(CASE WHEN 2 * sum((h >> {b}) & 1) >= count(*) THEN 1 ELSE 0 END) "
         f"* {2 ** b}::BIGINT"
         for b in range(60))
-    return f"""
-        WITH toks AS (
+    return f"""toks AS (
           SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
           FROM documents),
         grams AS (
@@ -688,9 +698,39 @@ def _simhash_oracle_sql(ngram: int = 2) -> str:
           FROM (SELECT doc_id, unnest(g) AS gram FROM grams)),
         sh AS (
           SELECT doc_id, {bit_terms} AS simhash
-          FROM hv GROUP BY doc_id)
+          FROM hv GROUP BY doc_id)"""
+
+
+def _simhash_oracle_sql(ngram: int = 2) -> str:
+    """Identical-fingerprint grouping over the shared SimHash CTEs."""
+    return f"""
+        WITH {_simhash_cte(ngram)}
         SELECT simhash, count(*) AS n_rows, min(doc_id) AS keep_id
         FROM sh GROUP BY simhash
+    """
+
+
+def _simhash_near_pairs_oracle_sql(max_hamming: int = 3, bands: int = 4,
+                                   ngram: int = 2) -> str:
+    """Banded Hamming near-pairs over the shared SimHash CTEs (pigeonhole
+    banding + bit_count(xor) verify — mirrors dedup.simhash_near_pairs)."""
+    w = 60 // bands
+    mask = (1 << w) - 1
+    return f"""
+        WITH {_simhash_cte(ngram)},
+        banded AS (
+          SELECT doc_id, simhash, bb.band,
+                 (simhash >> ({w} * bb.band)) & {mask} AS key
+          FROM sh, (SELECT unnest(range(0, {bands})) AS band) bb),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                 l.simhash AS sa, r.simhash AS sb
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sa, sb)) <= {max_hamming}
     """
 
 
@@ -715,6 +755,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_oracle_sql(32, 16),
         "near_dup_components": _near_dup_components_oracle_sql(32, 16),
         "simhash_groups": _simhash_oracle_sql(2),
+        "simhash_near_pairs": _simhash_near_pairs_oracle_sql(8, 12, 2),
         "validate_documents": f"""
             SELECT doc_id, ({_VALID_DOC_EXPR}) AS valid FROM documents
         """,

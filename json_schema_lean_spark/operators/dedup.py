@@ -158,3 +158,45 @@ def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str,
               .groupBy("simhash")
               .agg(F.count(F.lit(1)).alias("n_rows"), F.min(id_col).alias("keep_id"))
             )
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
+                       max_hamming: int = 3, bands: int = 4,
+                       ngram: int = 2, portable: bool = False) -> DataFrame:
+    """Near-dup pairs within a Hamming radius of each other's SimHash —
+    the distance-tolerant form of :func:`simhash_dup_groups` (which needs
+    IDENTICAL fingerprints). Banded by pigeonhole: with ``bands >
+    max_hamming``, two signatures within the radius differ in at most
+    ``max_hamming`` bit positions, so at least one of the ``bands``
+    disjoint bit-chunks is untouched and the band equi-join finds the pair
+    with FULL recall — the plan stays a shuffled bucket join (candidates
+    explode per shared band; no cross product), then ``bit_count(xor)``
+    verifies the exact distance. portable=True keeps the md5-based 60-bit
+    hash so DuckDB reproduces the identical pairs."""
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming "
+                         "(pigeonhole recall guarantee)")
+    bits = 60 if portable else 64
+    w = bits // bands
+    sig = simhash64(F.col(text_col), ngram, portable)
+    base = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    band_structs = [
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftright(F.col("_sig"), w * i)
+                  .bitwiseAND(F.lit((1 << w) - 1)).alias("key"))
+        for i in range(bands)]
+    banded = (base.select("_id", "_sig",
+                          F.explode(F.array(*band_structs)).alias("b"))
+                  .select("_id", "_sig", "b.band", "b.key"))
+    left, right = banded.alias("l"), banded.alias("r")
+    pairs = (left.join(right, (F.col("l.band") == F.col("r.band"))
+                       & (F.col("l.key") == F.col("r.key"))
+                       & (F.col("l._id") < F.col("r._id")))
+                 .select(F.col("l._id").alias("id_a"),
+                         F.col("r._id").alias("id_b"),
+                         F.col("l._sig").alias("_sa"),
+                         F.col("r._sig").alias("_sb"))
+                 .distinct())
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int")
+    return (pairs.select("id_a", "id_b", ham.alias("hamming"))
+                 .where(F.col("hamming") <= max_hamming))

@@ -528,3 +528,37 @@ def test_two_sample_drift_randomized_matches_pooled_helper(spark):
         assert abs(out["ks_stat"] - ks) < 1e-6, (seed, out, ks)
         assert out["dof"] == dof, (seed, out["dof"], dof)
         assert out["n_a"] == sum(a) and out["n_b"] == sum(b)
+
+
+def test_simhash_near_pairs_radius_and_recall(spark):
+    """Distance-tolerant SimHash pairs: near-identical docs pair up within
+    the radius, unrelated docs don't; the pigeonhole precondition is
+    enforced; brute-force hamming over the same signatures confirms FULL
+    recall at distance <= bands-1."""
+    from json_schema_lean_spark.operators.dedup import (
+        simhash64,
+        simhash_near_pairs,
+    )
+
+    rows = [(i, f"unique words {i} nothing shared alpha beta gamma {i*7}")
+            for i in range(20)]
+    rows += [(100, "the quick brown fox jumps over the lazy dog today"),
+             (101, "the quick brown fox jumps over the lazy dog tonight")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_pairs(df, "text", "doc_id", max_hamming=8,
+                                       bands=12, portable=True).collect()}
+    assert (100, 101) in got and got[(100, 101)] <= 8
+
+    # brute-force reference: every pair within the radius must be found
+    sigs = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", simhash64(F.col("text"), 2, True).alias("s")).collect()}
+    ids = sorted(sigs)
+    brute = {(a, b): bin(sigs[a] ^ sigs[b]).count("1")
+             for i, a in enumerate(ids) for b in ids[i + 1:]
+             if bin(sigs[a] ^ sigs[b]).count("1") <= 8}
+    assert got == brute  # full recall at hamming <= bands-1 (pigeonhole)
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(df, "text", "doc_id", max_hamming=4, bands=4)
