@@ -66,6 +66,26 @@ def minhash_signature(shingles: Column, k: int = 32,
     ])
 
 
+def _banded_candidate_pairs(base: DataFrame, band_struct_fn, bands: int,
+                            carry: list[str]) -> DataFrame:
+    """Banded LSH self-join scaffold shared by the MinHash and SimHash
+    pipelines: explode per-band (band, key) structs, equi-join on them with
+    id_a < id_b, distinct. ``base`` must carry ``_id``; ``carry`` names
+    extra base columns surfaced as <name>_a / <name>_b on the pairs."""
+    banded = (base.select("_id", *carry, F.explode(F.array(*[
+                  band_struct_fn(i) for i in range(bands)])).alias("bb"))
+                  .select("_id", *carry, "bb.band", "bb.key"))
+    left, right = banded.alias("l"), banded.alias("r")
+    sel = [F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")]
+    for c in carry:
+        sel += [F.col(f"l.{c}").alias(f"{c}_a"),
+                F.col(f"r.{c}").alias(f"{c}_b")]
+    return (left.join(right, (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.key") == F.col("r.key"))
+                      & (F.col("l._id") < F.col("r._id")))
+                .select(*sel).distinct())
+
+
 def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
                             k: int = 32, bands: int = 8,
                             ngram: int = 3, portable: bool = False) -> DataFrame:
@@ -86,22 +106,10 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
                         lambda x: x.cast("string")), ",")
         return portable_hash64(joined) if portable else F.xxhash64(joined)
 
-    banded = with_sig.select(
-        "_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (left.join(right,
-                       (F.col("l.band") == F.col("r.band"))
-                       & (F.col("l.bucket") == F.col("r.bucket"))
-                       & (F.col("l._id") < F.col("r._id")))
-                  .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-                  .distinct())
-    return pairs
+    return _banded_candidate_pairs(
+        with_sig,
+        lambda b: F.struct(F.lit(b).alias("band"), bucket_of(b).alias("key")),
+        bands, carry=[])
 
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str,
@@ -177,26 +185,19 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
         raise ValueError("bands must exceed max_hamming "
                          "(pigeonhole recall guarantee)")
     bits = 60 if portable else 64
+    if bands > bits:
+        raise ValueError("bands must not exceed the signature bit width "
+                         f"({bits}): zero-width bands would key every doc "
+                         "into one bucket (cross-product join)")
     w = bits // bands
     sig = simhash64(F.col(text_col), ngram, portable)
     base = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-    band_structs = [
-        F.struct(F.lit(i).alias("band"),
-                 F.shiftright(F.col("_sig"), w * i)
-                  .bitwiseAND(F.lit((1 << w) - 1)).alias("key"))
-        for i in range(bands)]
-    banded = (base.select("_id", "_sig",
-                          F.explode(F.array(*band_structs)).alias("b"))
-                  .select("_id", "_sig", "b.band", "b.key"))
-    left, right = banded.alias("l"), banded.alias("r")
-    pairs = (left.join(right, (F.col("l.band") == F.col("r.band"))
-                       & (F.col("l.key") == F.col("r.key"))
-                       & (F.col("l._id") < F.col("r._id")))
-                 .select(F.col("l._id").alias("id_a"),
-                         F.col("r._id").alias("id_b"),
-                         F.col("l._sig").alias("_sa"),
-                         F.col("r._sig").alias("_sb"))
-                 .distinct())
-    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int")
+    pairs = _banded_candidate_pairs(
+        base,
+        lambda i: F.struct(F.lit(i).alias("band"),
+                           F.shiftright(F.col("_sig"), w * i)
+                            .bitwiseAND(F.lit((1 << w) - 1)).alias("key")),
+        bands, carry=["_sig"])
+    ham = F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))).cast("int")
     return (pairs.select("id_a", "id_b", ham.alias("hamming"))
                  .where(F.col("hamming") <= max_hamming))

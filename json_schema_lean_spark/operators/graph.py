@@ -33,8 +33,12 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     identity rows if the retention policy needs every doc."""
     und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
                 .where(F.col("a").isNotNull() & F.col("b").isNotNull()))
+    # localCheckpoint: without it every propagation round re-executes the
+    # full upstream edge pipeline (e.g. the MinHash candidate join) through
+    # sym's lineage — the docstring's "two shuffles per round over
+    # (node, label) pairs" only holds with the edges materialized once
     sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
-             .distinct()
+             .distinct().localCheckpoint()
 
     labels = (sym.select(F.col("a").alias("node"))
                  .distinct()
@@ -62,6 +66,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         if cur == prev_sum:
             break
         prev_sum = cur
+    else:
+        # non-converged labels would silently under-merge components (and
+        # dedup_keep_min would keep several docs per true group) — fail
+        # loudly; callers with pathologically deep graphs raise max_iters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "raise max_iters (pointer jumping needs ~log2(diameter) + "
+            "slack)")
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 
@@ -70,10 +82,12 @@ def dedup_keep_min(edges: DataFrame, all_ids: DataFrame, id_col: str,
     """Retention policy over near-dup components: every id from ``all_ids``
     with its component representative (min id; identity for singletons) and
     a ``keep`` flag. The survivor set is ``where(keep)``."""
-    comp = connected_components(edges, src=src, dst=dst)
-    out = (all_ids.select(F.col(id_col))
-                  .join(comp, all_ids[id_col] == comp["node"], "left")
-                  .select(F.col(id_col),
-                          F.coalesce(F.col("component"),
-                                     F.col(id_col)).alias("component")))
+    comp = connected_components(edges, src=src, dst=dst).select(
+        F.col("node").alias("_jsl_node"),
+        F.col("component").alias("_jsl_component"))
+    ids = all_ids.select(F.col(id_col).alias("_jsl_id"))
+    out = (ids.join(comp, ids["_jsl_id"] == comp["_jsl_node"], "left")
+              .select(F.col("_jsl_id").alias(id_col),
+                      F.coalesce(F.col("_jsl_component"),
+                                 F.col("_jsl_id")).alias("component")))
     return out.withColumn("keep", F.col(id_col) == F.col("component"))

@@ -59,3 +59,12 @@ def test_dedup_keep_min_policy(spark):
     rows = {r["doc_id"]: (r["component"], r["keep"])
             for r in dedup_keep_min(edges, ids, "doc_id").collect()}
     assert rows == {1: (1, True), 5: (5, True), 7: (5, False), 9: (5, False)}
+
+
+def test_zero_width_bands_rejected(spark):
+    from json_schema_lean_spark.operators.dedup import simhash_near_pairs
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    import pytest
+    with pytest.raises(ValueError, match="bit width"):
+        simhash_near_pairs(df, "text", "doc_id", max_hamming=60, bands=61,
+                           portable=True)
