@@ -16,7 +16,8 @@ Per-round ``localCheckpoint`` truncates the lineage (an iterative plan
 otherwise grows by two joins per round, and Catalyst re-analysis cost
 compounds); on a cluster with a checkpoint dir, ``df.checkpoint`` is the
 durable equivalent. Convergence is detected by an exact checksum of the
-label assignment (sum of xxhash64(node, label)) going stable.
+label assignment (bit_xor of xxhash64(node, label)) going stable; running
+out of rounds raises rather than returning under-merged labels.
 """
 
 from __future__ import annotations
