@@ -185,3 +185,24 @@ def test_ref_sibling_id_resolves_against_parent_scope():
     # cycle detector walks the same contract without false cycles
     from json_schema_lean_spark.resolver import find_ref_cycle
     assert find_ref_cycle(comp.resolver) is None
+
+
+def test_folder_remote_exercised():
+    """The official refRemote reconstruction doesn't reference the folder/
+    remote; exercise it with a home-grown schema so every vendored remote
+    document is load-bearing."""
+    reg = _registry()
+    v = CompiledValidator(
+        {"$ref": "http://localhost:1234/folder/folderInteger.json"},
+        registry=reg)
+    assert v.is_valid(7) and not v.is_valid("x")
+
+    # a $ref NESTED UNDER a folder $id rebases ($ref as a SIBLING of $id
+    # would instead resolve against the parent scope and miss — pinned in
+    # test_ref_sibling_id_resolves_against_parent_scope)
+    v2 = CompiledValidator(
+        {"$id": "http://localhost:1234/", "allOf": [
+            {"$id": "folder/",
+             "allOf": [{"$ref": "folderInteger.json"}]}]},
+        registry=reg)
+    assert v2.is_valid(7) and not v2.is_valid("x")
