@@ -9,8 +9,18 @@ carries the FIRST run — the only cost a one-shot batch job pays (plan
 analysis + codegen + JIT included; the JVM is process-fresh for the first
 query and progressively warmer for later ones, so per-query cold numbers
 are upper-bounded by a truly fresh JVM only for the first). Raw runs stay
-in extras as <name>_runs_sec. Round-1 numbers were cold single runs;
-round-2 reported best-of-three only.
+in extras as <name>_runs_sec.
+
+Contention telemetry (r4, after BENCH_r03's 3x phantom regression —
+neighbor load on the shared box inflated a 1.0s warm query to 15.5s):
+every run records wall time, the JVM's own CPU seconds (from
+/proc/<pid>/stat — ``time.process_time()`` only covers the Python driver,
+which does ~none of the work in PySpark), and the EXTERNAL busy cores on
+the machine (machine-wide /proc/stat busy minus our JVM+driver share).
+A query whose warm runs disperse >2x, or whose best run saw significant
+external load, is re-run up to 3 extra times; if pressure persists the
+artifact says so in ``contention_flagged_queries`` instead of silently
+publishing a phantom regression.
 
 Headline set:
 - spans_validate : flagship columnar validation of the generated interleaved
@@ -21,6 +31,10 @@ Headline set:
 - exact_dedup    : fingerprint groupBy on documents
 - ann_topk       : brute-force cosine top-k over embeddings
 - ref_integrity  : spans media_ref anti-join vs broadcast asset catalog
+
+Extras additionally carry an sf1-scale steady-state point
+(``spans_sf1_docs_per_sec``, 6M docs) so headline-vs-scale lives in ONE
+artifact; disable with SPARK_GRAFT_SF1=0 when iterating.
 """
 
 from __future__ import annotations
@@ -48,6 +62,50 @@ from json_schema_lean_spark.sources.spansgen import (  # noqa: E402
     spans_documents,
 )
 from __spark_entry__ import EVENT_PROPS_SCHEMA  # noqa: E402
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK")
+
+
+def _find_jvm_pid() -> int:
+    """The Spark JVM is a direct child of this Python driver."""
+    me = str(os.getpid())
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            comm_path = f"/proc/{p}/comm"
+            with open(comm_path) as f:
+                comm = f.read().strip()
+        except OSError:
+            continue
+        # after ')': state ppid ... ; ppid is field 0 of the tail
+        if parts[1] == me and "java" in comm:
+            return int(p)
+    return -1
+
+
+def _proc_cpu_sec(pid: int) -> float:
+    """utime+stime of one process, in seconds (0.0 if unreadable)."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            tail = f.read().rsplit(")", 1)[1].split()
+        return (int(tail[11]) + int(tail[12])) / _CLK_TCK  # utime, stime
+    except (OSError, IndexError, ValueError):
+        return 0.0
+
+
+def _machine_busy_sec() -> float:
+    """Machine-wide busy CPU seconds (all cores summed; /proc/stat line 1:
+    user nice system idle iowait irq softirq steal ...) — everything except
+    idle+iowait counts as busy."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (sum(vals) - vals[3] - vals[4]) / _CLK_TCK
+    except (OSError, IndexError, ValueError):
+        return 0.0
 
 
 def force(df) -> int:
@@ -80,25 +138,70 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    jvm_pid = _find_jvm_pid()
+    me = os.getpid()
+    start_load = round(os.getloadavg()[0], 2)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict = {}
+    flagged: list[str] = []
 
-    def bench(name: str, fn) -> None:
-        # r2 methodology: each query runs three times; the reported time is
-        # the BEST run — steady state, excluding both one-time plan
-        # compile/JIT and transient shared-box contention spikes (measured
-        # 2.7s vs 26.5s for the same warm query under a neighbor's load).
-        # Raw times are kept in extras for transparency.
-        runs = []
-        for _ in range(3):
+    # External pressure a run can absorb before we call it contended:
+    # our own JVM legitimately uses ~all cores, so "external" is what the
+    # REST of the machine burned during the run, in average cores.
+    ext_cores_cap = max(2.0, 0.15 * (os.cpu_count() or cpus))
+
+    def bench(name: str, fn, max_extra: int = 3) -> None:
+        runs: list[float] = []
+        loads: list[float] = []
+        jvm_cpu: list[float] = []
+        ext_cores: list[float] = []
+        rows_cell = []
+
+        def one():
+            loads.append(round(os.getloadavg()[0], 2))
+            busy0 = _machine_busy_sec()
+            c0 = _proc_cpu_sec(jvm_pid) + _proc_cpu_sec(me)
             t0 = time.perf_counter()
-            rows = fn()
-            runs.append(time.perf_counter() - t0)
+            rows_cell[:] = [fn()]
+            wall = time.perf_counter() - t0
+            ours = _proc_cpu_sec(jvm_pid) + _proc_cpu_sec(me) - c0
+            ext = max(0.0, _machine_busy_sec() - busy0 - ours)
+            runs.append(round(wall, 3))
+            jvm_cpu.append(round(ours, 2))
+            ext_cores.append(round(ext / max(wall, 1e-6), 2))
+
+        for _ in range(3):
+            one()
+
+        def best_contended() -> bool:
+            warm = runs[1:]
+            dispersed = max(warm) > 2.0 * min(warm) if len(warm) > 1 else False
+            best_ext = ext_cores[runs.index(min(runs))]
+            return dispersed or best_ext > ext_cores_cap
+
+        extra = 0
+        while best_contended() and extra < max_extra:
+            one()
+            extra += 1
+            # a fresh quiet run near the current best confirms the best
+            # run is clean — stop early
+            if (runs[-1] <= 1.3 * min(runs)
+                    and ext_cores[-1] <= ext_cores_cap):
+                break
+
         timings[name] = round(min(runs), 3)
-        cold[name] = round(runs[0], 3)
-        extras[f"{name}_rows"] = rows
-        extras[f"{name}_runs_sec"] = [round(t, 3) for t in runs]
+        cold[name] = runs[0]
+        extras[f"{name}_rows"] = rows_cell[0]
+        extras[f"{name}_runs_sec"] = runs
+        extras[f"{name}_loadavg1"] = loads
+        extras[f"{name}_jvm_cpu_sec"] = jvm_cpu
+        extras[f"{name}_external_cores"] = ext_cores
+        if extra:
+            extras[f"{name}_contention_reruns"] = extra
+        if best_contended():
+            flagged.append(name)
 
     # spans table is the north_rule input: generate once, persist to parquet
     # so validation measures the engine, not the generator
@@ -114,18 +217,11 @@ def main() -> None:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("valid").cast("long")).alias("ok")).collect()[0]
 
-    spans_runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        n_valid = run_spans()
-        spans_runs.append(time.perf_counter() - t0)
-    spans_sec = min(spans_runs)
-    timings["spans_validate"] = round(spans_sec, 3)
-    cold["spans_validate"] = round(spans_runs[0], 3)
-    extras["spans_validate_runs_sec"] = [round(t, 3) for t in spans_runs]
+    bench("spans_validate", run_spans)
+    n_valid = extras.pop("spans_validate_rows")
     extras["spans_docs"] = n_valid["n"]
     extras["spans_valid"] = n_valid["ok"]
-    extras["docs_per_sec"] = round(n_valid["n"] / spans_sec, 1)
+    extras["docs_per_sec"] = round(n_valid["n"] / timings["spans_validate"], 1)
 
     from json_schema_lean_spark.operators.validation import violation_rows_fast
     bench("violation_rows", lambda: force(
@@ -155,7 +251,32 @@ def main() -> None:
     bench("ref_integrity", lambda: force(
         span_media_integrity(spans, asset_catalog(spark))))
 
+    # sf1 steady-state point (verdict r3 #5): at sf0.1 the headline is
+    # dominated by fixed per-job cost; a 6M-doc spans_validate run shows the
+    # amortized throughput in the SAME artifact. Two runs: cold, warm.
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "1" and sf >= 0.05:
+        sf1_docs = 6_000_000
+        sf1_path = f"/tmp/spark_graft_spans_{sf1_docs}"
+        if not os.path.exists(sf1_path):
+            spans_documents(spark, sf1_docs, partitions=cpus * 4) \
+                .write.mode("overwrite").parquet(sf1_path)
+        spans_sf1 = spark.read.parquet(sf1_path)
+        sf1_runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            row = (validate_spans_best(spans_sf1, SPAN_SCHEMA,
+                                       keep_cols=["doc_id"])
+                   .select(F.count(F.lit(1)).alias("n"),
+                           F.sum(F.col("valid").cast("long")).alias("ok"))
+                   .collect()[0])
+            sf1_runs.append(round(time.perf_counter() - t0, 3))
+        extras["spans_sf1_docs"] = row["n"]
+        extras["spans_sf1_runs_sec"] = sf1_runs
+        extras["spans_sf1_docs_per_sec"] = round(row["n"] / min(sf1_runs), 1)
+
     total = round(sum(timings.values()), 3)
+    extras["loadavg_at_start"] = start_load
+    extras["machine_cores"] = os.cpu_count()
     # surface the latest two-parallelism scaling evidence (north_rule
     # criterion; produced by scripts/scaling_bench.py into BENCH/BASELINE.md)
     # directly in the bench JSON so one artifact carries both
@@ -178,6 +299,7 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 3),
         "sf": sf,
         "cpus": cpus,
+        "contention_flagged_queries": flagged,
         "extras": extras,
     }))
 

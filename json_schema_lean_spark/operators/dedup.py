@@ -66,15 +66,69 @@ def minhash_signature(shingles: Column, k: int = 32,
     ])
 
 
+def cap_bucket_rows(banded: DataFrame, bucket_cols: list[str], id_col: str,
+                    max_bucket_size: int, observation=None) -> DataFrame:
+    """Bound the per-bucket row count of an LSH banding before a self-join.
+
+    Pair output of a bucket self-join is quadratic in bucket size: a
+    boilerplate-heavy corpus (millions of templated or near-empty docs
+    sharing a band key) makes one degenerate bucket emit ~n²/2 candidates
+    before any verify stage — output CARDINALITY, which AQE skew handling
+    cannot fix. The guard keeps a deterministic prefix of each bucket
+    (ordered by ``id_col``, so an engine-portable oracle can reproduce it)
+    and drops the rest.
+
+    NO SILENT CAPS: pass a ``pyspark.sql.Observation`` to receive, on the
+    first action, ``dropped_candidate_pairs`` (sum over oversized buckets of
+    C(n,2) − C(cap,2), per banding — a pair sharing several oversized bands
+    counts once per band), ``oversized_buckets`` and ``max_bucket_rows``.
+    Run exact dedup first: identical docs share every band, so their
+    buckets are the ones a cap truncates — collapse them to one
+    representative instead of paying (then losing) their pairs here."""
+    if max_bucket_size < 2:
+        raise ValueError("max_bucket_size must be >= 2 "
+                         "(a 1-row bucket emits no pairs)")
+    wp = Window.partitionBy(*bucket_cols)
+    out = (banded
+           .withColumn("_bn", F.row_number().over(wp.orderBy(id_col)))
+           .withColumn("_bsz", F.count(F.lit(1)).over(wp))
+           .where(F.col("_bn") <= max_bucket_size))
+    if observation is not None:
+        n = F.col("_bsz").cast("double")
+        cap = F.least(n, F.lit(float(max_bucket_size)))
+        head = F.col("_bn") == 1  # one metric row per bucket
+        out = out.observe(
+            observation,
+            F.coalesce(F.sum(F.when(
+                head, (n * (n - 1) - cap * (cap - 1)) / 2).otherwise(0.0)),
+                F.lit(0.0)).cast("bigint").alias("dropped_candidate_pairs"),
+            F.coalesce(F.sum(F.when(
+                head & (F.col("_bsz") > max_bucket_size), 1).otherwise(0)),
+                F.lit(0)).cast("bigint").alias("oversized_buckets"),
+            F.coalesce(F.max("_bsz"), F.lit(0)).cast("bigint")
+             .alias("max_bucket_rows"))
+    return out.drop("_bn", "_bsz")
+
+
 def _banded_candidate_pairs(base: DataFrame, band_struct_fn, bands: int,
-                            carry: list[str]) -> DataFrame:
+                            carry: list[str],
+                            max_bucket_size: int | None = None,
+                            observation=None) -> DataFrame:
     """Banded LSH self-join scaffold shared by the MinHash and SimHash
     pipelines: explode per-band (band, key) structs, equi-join on them with
     id_a < id_b, distinct. ``base`` must carry ``_id``; ``carry`` names
-    extra base columns surfaced as <name>_a / <name>_b on the pairs."""
+    extra base columns surfaced as <name>_a / <name>_b on the pairs.
+
+    ``max_bucket_size`` bounds the quadratic blow-up of degenerate buckets
+    (see :func:`cap_bucket_rows`); the window shuffle it adds partitions on
+    the same (band, key) the join needs, so the exchange is shared. Default
+    None = exact semantics (required by the DuckDB-oracled driver queries)."""
     banded = (base.select("_id", *carry, F.explode(F.array(*[
                   band_struct_fn(i) for i in range(bands)])).alias("bb"))
                   .select("_id", *carry, "bb.band", "bb.key"))
+    if max_bucket_size is not None:
+        banded = cap_bucket_rows(banded, ["band", "key"], "_id",
+                                 max_bucket_size, observation)
     left, right = banded.alias("l"), banded.alias("r")
     sel = [F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")]
     for c in carry:
@@ -88,12 +142,16 @@ def _banded_candidate_pairs(base: DataFrame, band_struct_fn, bands: int,
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
                             k: int = 32, bands: int = 8,
-                            ngram: int = 3, portable: bool = False) -> DataFrame:
+                            ngram: int = 3, portable: bool = False,
+                            max_bucket_size: int | None = None,
+                            observation=None) -> DataFrame:
     """LSH candidate pairs: same (band_idx, band-slice of signature) bucket.
 
     Scale shape: the self-join keys on (band, slice-hash) — buckets are tiny
     at realistic thresholds, so the join explodes candidates, not the corpus.
-    Returns distinct (id_a, id_b) with id_a < id_b.
+    Returns distinct (id_a, id_b) with id_a < id_b. For adversarial corpora
+    (templated/boilerplate text collapsing many docs into one bucket) pass
+    ``max_bucket_size`` (+ an Observation) — see :func:`cap_bucket_rows`.
     """
     rows_per_band = k // bands
     sig = minhash_signature(word_ngrams(F.col(text_col), ngram), k,
@@ -109,7 +167,8 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     return _banded_candidate_pairs(
         with_sig,
         lambda b: F.struct(F.lit(b).alias("band"), bucket_of(b).alias("key")),
-        bands, carry=[])
+        bands, carry=[], max_bucket_size=max_bucket_size,
+        observation=observation)
 
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str,
@@ -170,7 +229,9 @@ def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str,
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                        max_hamming: int = 3, bands: int = 4,
-                       ngram: int = 2, portable: bool = False) -> DataFrame:
+                       ngram: int = 2, portable: bool = False,
+                       max_bucket_size: int | None = None,
+                       observation=None) -> DataFrame:
     """Near-dup pairs within a Hamming radius of each other's SimHash —
     the distance-tolerant form of :func:`simhash_dup_groups` (which needs
     IDENTICAL fingerprints). Banded by pigeonhole: with ``bands >
@@ -197,7 +258,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
         lambda i: F.struct(F.lit(i).alias("band"),
                            F.shiftright(F.col("_sig"), w * i)
                             .bitwiseAND(F.lit((1 << w) - 1)).alias("key")),
-        bands, carry=["_sig"])
+        bands, carry=["_sig"], max_bucket_size=max_bucket_size,
+        observation=observation)
     ham = F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))).cast("int")
     return (pairs.select("id_a", "id_b", ham.alias("hamming"))
                  .where(F.col("hamming") <= max_hamming))

@@ -303,7 +303,10 @@ def two_sample_drift(df: DataFrame, value_col: str, split_col,
             F.try_divide(F.pow(F.col("cnt_a") - exp_a, F.lit(2)), exp_a)
             + F.try_divide(F.pow(F.col("cnt_b") - exp_b, F.lit(2)), exp_b)),
                 round_to).alias("chi2_stat"),
-        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        # clamp to >=1 like pooled_chi_square_from_histograms: one populated
+        # bucket (or empty input) must not yield dof 0/-1, which would
+        # degenerate chi_square_pvalue to 1.0 and diverge from the helper
+        F.greatest(F.count(F.lit(1)) - 1, F.lit(1)).cast("long").alias("dof"),
     )
 
 

@@ -210,7 +210,9 @@ def lsh_near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.45,
                        bands: int = 8, planes_per_band: int = 4,
                        seed: int = 42, quant: int = 1000,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       max_bucket_size: int | None = None,
+                       observation=None) -> DataFrame:
     """Embedding near-dup pairs WITHOUT the all-pairs cross join (VERDICT r1
     'What's wrong' #1): banded random-hyperplane buckets generate candidate
     pairs (equi-join on (band, sig) — a shuffled hash join whose cost scales
@@ -224,6 +226,13 @@ def lsh_near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.45,
     weights = lsh_plane_weights(dim, bands, planes_per_band, seed)
     sigs = lsh_band_signatures(corpus, weights, id_col=id_col,
                                vec_col=vec_col, quant=quant)
+    if max_bucket_size is not None:
+        # degenerate-bucket guard (quadratic pair output — e.g. a corpus of
+        # near-identical embeddings collapsing into one (band, sig) bucket);
+        # deterministic prefix + observable drop, see dedup.cap_bucket_rows
+        from .dedup import cap_bucket_rows
+        sigs = cap_bucket_rows(sigs, ["band", "sig"], "_id",
+                               max_bucket_size, observation)
     a = sigs.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"),
                     "band", "sig")
     b = sigs.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"),

@@ -497,9 +497,11 @@ def validate_spans_best(df: DataFrame, schema_json: Any,
     keep_cols=None means ALL input columns on every branch (normalized
     here; the explode strategy's own light-columns default applies only
     when it is called directly — r3 review: the chain's output schema must
-    not depend on which strategy happened to compile)."""
+    not depend on which strategy happened to compile). Pre-existing
+    'valid'/'violations' columns are REPLACED, never duplicated, matching
+    the other validators' contract."""
     if keep_cols is None:
-        keep_cols = list(df.columns)
+        keep_cols = [c for c in df.columns if c not in ("valid", "violations")]
     from ..plans.fused import FusedUnsupported, validate_documents_fused
     try:
         return validate_documents_fused(df, schema_json, spans_col=spans_col,

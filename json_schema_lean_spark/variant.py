@@ -932,20 +932,48 @@ class VariantCompiler:
                         "canonicalize it — validate via the Arrow "
                         "interpreter (prefer_variant=False)")
 
-            too_deep = (F.lit(False).cast("boolean")
-                        if self.deep_ref_behavior == "invalid"
-                        else F.raise_error(F.lit(deep_msg)).cast("boolean"))
+            def canons_of(arr: Column) -> Column:
+                return F.transform(arr, lambda e: _canon(e, MAX_CANON_DEPTH))
 
-            def uniq(arr: Column) -> Column:
-                return _let(
-                    F.transform(arr, lambda e: _canon(e, MAX_CANON_DEPTH)),
-                    lambda canons: F.when(
-                        F.exists(canons, lambda c: c.isNull()), too_deep)
-                    .otherwise(F.size(F.array_distinct(canons))
-                               == F.size(canons)))
+            if self.deep_ref_behavior == "invalid":
+                # Too-deep rows must stay DISTINGUISHABLE from genuine
+                # duplicate-item failures: flag them with a '$recursion'
+                # violation (like _too_deep_leaf) so the documented
+                # filter-and-revalidate contract covers them, instead of
+                # a factually wrong "array items are not unique".
+                def uniq_inv(arr: Column) -> Column:
+                    return _let(canons_of(arr), lambda canons: F.when(
+                        F.exists(canons, lambda c: c.isNull()), F.lit(False))
+                        .otherwise(F.size(F.array_distinct(canons))
+                                   == F.size(canons)))
 
-            add_simple(gated(uniq), "uniqueItems", "array items are not unique",
-                       ref=self._refb("uniqueItems"))
+                ref = self._refb("uniqueItems")
+
+                def viol_fn(v: Column, p: Column) -> Column:
+                    dup = (F.array(_viol_col("uniqueItems", p, ref(v)))
+                           if ref is not None
+                           else F.array(_viol("uniqueItems", p,
+                                              "array items are not unique")))
+                    return F.when(_guard(v, gated(uniq_inv)(v)),
+                                  F.array().cast(VIOLATION_SCHEMA)) \
+                        .otherwise(F.when(
+                            is_arr(v) & F.exists(canons_of(_varr(v)),
+                                                 lambda c: c.isNull()),
+                            F.array(_viol("$recursion", p, deep_msg)))
+                            .otherwise(dup))
+
+                add(lambda v: _guard(v, gated(uniq_inv)(v)), viol_fn)
+            else:
+                def uniq(arr: Column) -> Column:
+                    return _let(canons_of(arr), lambda canons: F.when(
+                        F.exists(canons, lambda c: c.isNull()),
+                        F.raise_error(F.lit(deep_msg)).cast("boolean"))
+                        .otherwise(F.size(F.array_distinct(canons))
+                                   == F.size(canons)))
+
+                add_simple(gated(uniq), "uniqueItems",
+                           "array items are not unique",
+                           ref=self._refb("uniqueItems"))
 
         def _nitems(v: Column) -> Column:
             return F.size(_varr(v))

@@ -59,10 +59,18 @@ def run_case(req: dict) -> str:
         registry.update(reg)
     try:
         v = CompiledValidator(schema, registry=registry)
-        results = [{"valid": v.is_valid(t["instance"])}
-                   for t in case["tests"]]
     except Exception as e:  # compile failure -> error string, like Except
         return str(e)
+    # Run tests OUTSIDE the compile try: a runtime error on test N must not
+    # discard the case or drop the seq — the client correlates on seq, so
+    # surface it per-test and keep the remaining results intact.
+    results = []
+    for t in case["tests"]:
+        try:
+            results.append({"valid": v.is_valid(t["instance"])})
+        except Exception as e:
+            results.append({"valid": False,
+                            "error": f"{type(e).__name__}: {e}"})
     return json.dumps({"seq": seq, "results": results},
                       separators=(",", ":"))
 
