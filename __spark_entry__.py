@@ -406,7 +406,7 @@ def _q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mk_bmp = pandas_udf(_mk_bmp, "binary", PandasUDFType.SCALAR)
     d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
          .where(F.col("doc_id") < 96)
-         .select(F.concat(F.lit("img://"), F.col("doc_id")).alias("media_ref"),
+         .select(F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_ref"),
                  mk_bmp(F.col("doc_id")).alias("media_bytes")))
     out = image_features(d, decoder="real")
     return out.select("media_ref", "width", "height", "channels",
@@ -431,7 +431,7 @@ def _q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mk_wav = pandas_udf(_mk_wav, "binary", PandasUDFType.SCALAR)
     d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
          .where(F.col("doc_id") < 96)
-         .select(F.concat(F.lit("wav://"), F.col("doc_id")).alias("media_ref"),
+         .select(F.concat(F.lit("wav://"), F.col("doc_id").cast("string")).alias("media_ref"),
                  mk_wav(F.col("doc_id")).alias("media_bytes")))
     out = audio_features(d, decoder="real")
     return out.select("media_ref", "sample_rate", "n_samples",
@@ -460,7 +460,7 @@ def _q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
          .where(F.col("doc_id") < 64)
-         .select(F.concat(F.lit("vid://"), F.col("doc_id")).alias("media_ref"),
+         .select(F.concat(F.lit("vid://"), F.col("doc_id").cast("string")).alias("media_ref"),
                  mk_y4m(F.col("doc_id")).alias("media_bytes")))
     return sample_frames(d, every_n=2, max_frames=3, decoder="real")
 
@@ -485,21 +485,21 @@ def _q_events_props_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("v.json_pointer").alias("json_pointer")))
 
 
-def _q_suite_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay the JSON-Schema-Test-Suite-shaped fixtures through the Spark
-    path and return DISAGREEMENTS with the expected (reference-semantics)
-    verdicts. Self-checking: an empty result means full conformance.
-    Rows-only for the driver (a SQL oracle cannot validate JSON Schema)."""
+def _load_suite_verdicts():
+    """Shared corpus loader for the three conformance-gate queries:
+    ([(test_id, schema_json_str, instance_json_str, expected)], remotes).
+    Covers all four fixture suites (home-grown + official draft7 +
+    optional/ + refremote/) with the reference-parity float-overflow
+    expectation applied."""
     import json as _json
     from pathlib import Path
 
-    from json_schema_lean_spark.operators.validation import suite_validator_udf
+    from json_schema_lean_spark.metaschema import load_suite_remotes
 
     fixtures = Path(__file__).resolve().parent / "fixtures"
     suite_dirs = [fixtures / "suite", fixtures / "suite_official" / "draft7",
                   fixtures / "suite_official" / "draft7" / "optional",
                   fixtures / "suite_official" / "draft7" / "refremote"]
-    from json_schema_lean_spark.metaschema import load_suite_remotes
     remotes = load_suite_remotes(fixtures / "suite_official" / "remotes")
     # the official optional/float-overflow expectation contradicts the
     # reference's Float semantics (1e308/0.5 = inf is not an integer);
@@ -516,12 +516,165 @@ def _q_suite_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
                              _json.dumps(case["schema"], sort_keys=True),
                              _json.dumps(test["data"]),
                              expected))
+    return rows, remotes
+
+
+def _q_suite_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the JSON-Schema-Test-Suite-shaped fixtures through the Spark
+    path and return DISAGREEMENTS with the expected (reference-semantics)
+    verdicts. Self-checking: an empty result means full conformance.
+    Rows-only for the driver (a SQL oracle cannot validate JSON Schema)."""
+    from json_schema_lean_spark.operators.validation import suite_validator_udf
+
+    rows, remotes = _load_suite_verdicts()
     df = spark.createDataFrame(
         rows, "test_id string, schema_json string, instance_json string, expected boolean")
     udf = suite_validator_udf(extra_registry=remotes)
     got = df.withColumn("valid", udf(F.col("schema_json"), F.col("instance_json")))
     return got.where(F.col("valid") != F.col("expected")) \
               .select("test_id", "expected", "valid")
+
+
+def _q_suite_conformance_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same corpus, replayed through the VARIANT path (VERDICT r3 #4: the
+    externally-checked gate previously exercised only the pandas-UDF
+    interpreter; the JVM paths were pytest-only). Schemas outside the
+    variant subset fall back via CompileFallback and are SKIPPED — but a
+    coverage floor raises loudly if the lowerable set ever collapses, so
+    the gate can't go vacuously green. Returns disagreements (0 rows =
+    every lowerable verdict matches). Rows-only by nature."""
+    import json as _json
+
+    from json_schema_lean_spark.compiler import CompileFallback
+    from json_schema_lean_spark.metaschema import META_REGISTRY
+    from json_schema_lean_spark.resolver import SchemaCycleError
+    from json_schema_lean_spark.variant import VariantCompiler
+
+    rows, remotes = _load_suite_verdicts()
+    registry = dict(META_REGISTRY)
+    registry.update(remotes)
+
+    lowered_cache: dict = {}
+    cases: list = []    # (case_key, lowered, [(test_id, inst, expected)...])
+    by_case: dict = {}
+    for test_id, schema_str, inst, expected in rows:
+        case_key = test_id.rsplit("/", 1)[0]
+        if case_key not in by_case:
+            if schema_str not in lowered_cache:
+                try:
+                    lowered_cache[schema_str] = VariantCompiler(
+                        _json.loads(schema_str), registry=registry).lower()
+                except (CompileFallback, SchemaCycleError):
+                    lowered_cache[schema_str] = None
+            low = lowered_cache[schema_str]
+            by_case[case_key] = None
+            if low is not None:
+                by_case[case_key] = (case_key, low, [])
+                cases.append(by_case[case_key])
+        if by_case[case_key] is not None:
+            by_case[case_key][2].append((test_id, inst, expected))
+
+    if len(cases) < 100:  # variant subset must stay broad (pytest pins same)
+        raise RuntimeError(
+            f"variant conformance gate degraded: only {len(cases)} lowerable "
+            f"cases of {len(by_case)}")
+
+    # one eagerly-evaluated job per chunk (unioning every chunk's CASE tree
+    # into a single plan OOMs the analyzer — the per-chunk shape is exactly
+    # what tests/test_variant.py pins); the bounded mismatch set (usually
+    # empty) is re-wrapped as the result DataFrame
+    CHUNK = 40
+    mismatches = []
+    for start in range(0, len(cases), CHUNK):
+        chunk = cases[start:start + CHUNK]
+        chunk_rows = [(i, tid, inst, exp)
+                      for i, (_ck, _low, tests) in enumerate(chunk)
+                      for tid, inst, exp in tests]
+        df = spark.createDataFrame(
+            chunk_rows, "i int, test_id string, inst string, expected boolean")
+        v = F.try_parse_json("inst")
+        expr = F.lit(None).cast("boolean")
+        for i in range(len(chunk) - 1, -1, -1):
+            low = chunk[i][1]
+            ok = F.when(v.isNull(), F.lit(False)) \
+                  .otherwise(F.coalesce(low.valid(v), F.lit(False)))
+            expr = F.when(F.col("i") == i, ok).otherwise(expr)
+        got = df.select("test_id", "expected", expr.alias("valid")).collect()
+        mismatches += [(r["test_id"], r["expected"], r["valid"])
+                       for r in got if r["valid"] != r["expected"]]
+    return spark.createDataFrame(
+        mismatches, "test_id string, expected boolean, valid boolean")
+
+
+def _q_suite_conformance_columnar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same corpus through the STATIC COLUMNAR path via per-instance dtype
+    inference (the 100-TB struct-shredded fast path). Instances the shredded
+    representation cannot carry (null-vs-absent ambiguity, heterogeneous
+    arrays) are excluded with an eligibility floor that raises loudly.
+    Returns disagreements; rows-only by nature."""
+    import json as _json
+
+    from pyspark.sql.types import ArrayType
+
+    from json_schema_lean_spark.compiler import ColumnarCompiler, CompileFallback
+    from json_schema_lean_spark.inference import infer_json_dtype
+    from json_schema_lean_spark.metaschema import META_REGISTRY
+    from json_schema_lean_spark.resolver import SchemaCycleError
+
+    rows, remotes = _load_suite_verdicts()
+    registry = dict(META_REGISTRY)
+    registry.update(remotes)
+
+    comp_cache: dict = {}
+    eligible = []   # (test_id, dtype, lowered, json.dumps([data]), expected)
+    for test_id, schema_str, inst, expected in rows:
+        comp = comp_cache.get(schema_str)
+        if comp is None:
+            try:
+                comp = ColumnarCompiler(_json.loads(schema_str),
+                                        registry=registry)
+            except SchemaCycleError:
+                comp = "cycle"
+            comp_cache[schema_str] = comp
+        if comp == "cycle":
+            continue
+        data = _json.loads(inst)
+        dtype, _why = infer_json_dtype(data)
+        if dtype is None:
+            continue
+        try:
+            low = comp.lower(dtype, null_means="null")
+        except CompileFallback:
+            continue
+        eligible.append((test_id, dtype, low, _json.dumps([data]), expected))
+
+    frac = len(eligible) / max(len(rows), 1)
+    if frac < 0.85:  # pytest pins 0.90 on the core dirs; optional/ dilutes
+        raise RuntimeError(
+            f"columnar conformance gate degraded: {len(eligible)}/{len(rows)}"
+            f" = {frac:.3f} eligible")
+
+    # per-chunk eager jobs for the same analyzer-memory reason as the
+    # variant gate above (shape pinned by tests/test_columnar_suite.py)
+    CHUNK = 40
+    mismatches = []
+    for start in range(0, len(eligible), CHUNK):
+        chunk = eligible[start:start + CHUNK]
+        chunk_rows = [(i, tid, inst, exp)
+                      for i, (tid, _dt, _low, inst, exp) in enumerate(chunk)]
+        df = spark.createDataFrame(
+            chunk_rows, "i int, test_id string, inst string, expected boolean")
+        expr = F.lit(None).cast("boolean")
+        for i in range(len(chunk) - 1, -1, -1):
+            _tid, dtype, low, _inst, _exp = chunk[i]
+            col = F.element_at(F.from_json(F.col("inst"), ArrayType(dtype)), 1)
+            ok = F.coalesce(low.valid(col), F.lit(False))
+            expr = F.when(F.col("i") == i, ok).otherwise(expr)
+        got = df.select("test_id", "expected", expr.alias("valid")).collect()
+        mismatches += [(r["test_id"], r["expected"], r["valid"])
+                       for r in got if r["valid"] != r["expected"]]
+    return spark.createDataFrame(
+        mismatches, "test_id string, expected boolean, valid boolean")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -558,13 +711,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "events_props_violations": _q_events_props_violations,
         "suite_conformance": _q_suite_conformance,  # rows-only; 0 rows = pass
+        "suite_conformance_variant": _q_suite_conformance_variant,    # JVM path
+        "suite_conformance_columnar": _q_suite_conformance_columnar,  # JVM path
         "quality_scores": _q_quality_scores,
         "ngram_vocab": _q_ngram_vocab,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "media_meta": _q_media_meta,                  # full oracle
-        "media_frame_samples": _q_media_frame_samples,  # rows-only: real y4m decode
-        "media_image_features": _q_media_image_features,  # rows-only: real bmp decode
-        "media_audio_features": _q_media_audio_features,  # rows-only: real wav decode
+        "media_frame_samples": _q_media_frame_samples,  # golden-file oracle
+        "media_image_features": _q_media_image_features,  # golden-file oracle
+        "media_audio_features": _q_media_audio_features,  # golden-file oracle
         "distinct_sources_per_lang": _q_distinct_sources_per_lang,
         "drift_click_vs_purchase": _q_drift_click_vs_purchase,
     }
@@ -573,6 +728,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles (same column names, same rounding)
 # ---------------------------------------------------------------------------
+
+import os as _os
+
+_MEDIA_GOLDEN_DIR = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "fixtures", "media_golden")
 
 _VALID_DOC_EXPR = """
     (doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL)
@@ -751,6 +911,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(blob) AS BIGINT) AS n_bytes,
                    sha256(blob) AS content_sha256
             FROM blobs
+        """,
+        # media golden-file oracles (VERDICT r3 #3): expected rows computed
+        # OUTSIDE Spark by scripts/build_media_golden.py (plain Python over
+        # the same pure decoders) and committed as parquet; the Spark side
+        # must reproduce them exactly through its mapInPandas plumbing.
+        # Floats: golden stores raw doubles, both engines round(x, 6).
+        "media_image_features": f"""
+            SELECT media_ref, width, height, channels,
+                   round(mean_luma, 6) AS mean_luma,
+                   round(sharpness, 6) AS sharpness
+            FROM read_parquet('{_MEDIA_GOLDEN_DIR}/image_features.parquet')
+        """,
+        "media_audio_features": f"""
+            SELECT media_ref, sample_rate, n_samples, round(rms, 6) AS rms
+            FROM read_parquet('{_MEDIA_GOLDEN_DIR}/audio_features.parquet')
+        """,
+        "media_frame_samples": f"""
+            SELECT media_ref, frame_idx, frame_sha256
+            FROM read_parquet('{_MEDIA_GOLDEN_DIR}/frame_samples.parquet')
         """,
         "minhash_pairs": _minhash_oracle_sql(32, 16),
         "near_dup_components": _near_dup_components_oracle_sql(32, 16),
