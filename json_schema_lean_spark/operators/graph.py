@@ -27,11 +27,26 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
-                         dst: str = "id_b", max_iters: int = 25) -> DataFrame:
+                         dst: str = "id_b", max_iters: int = 25,
+                         hot_label_threshold: int = 2_000_000,
+                         hot_label_topk: int = 16) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component =
     the minimum node id in its connected component (deterministic).
     Singletons (docs in no pair) are not emitted — union them in as
-    identity rows if the retention policy needs every doc."""
+    identity rows if the retention policy needs every doc.
+
+    Giant-component guard (VERDICT r3 #6): once a giant component's label
+    has propagated, most of its (node, comp) rows share ONE comp value and
+    the comp-keyed pointer-jump join develops a hot key. Each round the
+    top-``hot_label_topk`` labels with at least ``hot_label_threshold``
+    rows are detected (a map-side-combined count — skew-safe by itself)
+    and their rows routed through a BROADCAST join against the <= topk
+    matching jump rows: the giant component's rows never shuffle at all,
+    while the long tail keeps the regular shuffled join. Both paths
+    produce identical labels (pytest-pinned), so the threshold is purely
+    a performance knob; the default only engages at genuine scale.
+    Degree skew in the neighbor-propagation join is bounded upstream
+    (cap_bucket_rows limits per-doc candidate degree to bands*(cap-1))."""
     und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
                 .where(F.col("a").isNotNull() & F.col("b").isNotNull()))
     # localCheckpoint: without it every propagation round re-executes the
@@ -53,12 +68,31 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                    .select(F.col("b").alias("node"), F.col("comp")))
         labels = (labels.select("node", "comp").union(msgs)
                         .groupBy("node").agg(F.min("comp").alias("comp")))
+        # giant-component guard: find labels hot enough to skew the jump
+        # join (one extra count job per round, same order of cost as the
+        # convergence checksum; partial aggregation makes the count itself
+        # immune to the very skew it measures)
+        hot = [r["comp"] for r in
+               labels.groupBy("comp").agg(F.count(F.lit(1)).alias("n"))
+                     .where(F.col("n") >= hot_label_threshold)
+                     .orderBy(F.desc("n")).limit(hot_label_topk).collect()]
         # pointer jumping: comp <- comp(comp); halves distance to the min
         jump = labels.select(F.col("node").alias("jnode"),
                              F.col("comp").alias("jcomp"))
-        labels = (labels.join(jump, labels["comp"] == jump["jnode"])
-                        .select("node", F.col("jcomp").alias("comp"))
-                        .localCheckpoint())
+        if hot:
+            hot_jump = jump.where(F.col("jnode").isin(hot))
+            cold = (labels.where(~F.col("comp").isin(hot))
+                          .join(jump, F.col("comp") == jump["jnode"])
+                          .select("node", F.col("jcomp").alias("comp")))
+            hot_part = (labels.where(F.col("comp").isin(hot))
+                              .join(F.broadcast(hot_jump),
+                                    F.col("comp") == hot_jump["jnode"])
+                              .select("node", F.col("jcomp").alias("comp")))
+            labels = cold.union(hot_part).localCheckpoint()
+        else:
+            labels = (labels.join(jump, labels["comp"] == jump["jnode"])
+                            .select("node", F.col("jcomp").alias("comp"))
+                            .localCheckpoint())
         # bit_xor: order-independent and overflow-free (ANSI sum of hashes
         # throws ARITHMETIC_OVERFLOW); (node, comp) rows are unique so no
         # xor cancellation, and count changes are caught by the hash change

@@ -68,3 +68,70 @@ def test_zero_width_bands_rejected(spark):
     with pytest.raises(ValueError, match="bit width"):
         simhash_near_pairs(df, "text", "doc_id", max_hamming=60, bands=61,
                            portable=True)
+
+
+def test_hot_label_guard_equivalence(spark):
+    """The broadcast hot-label path and the plain shuffled join must produce
+    identical labels — the threshold is purely a performance knob."""
+    random.seed(7)
+    edges = [(random.randrange(60), random.randrange(60)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    plain = {(r["node"], r["component"])
+             for r in connected_components(df).collect()}
+    guarded = {(r["node"], r["component"])
+               for r in connected_components(
+                   df, hot_label_threshold=2, hot_label_topk=4).collect()}
+    assert plain == guarded
+    assert plain == set(uf_components(edges).items())
+
+
+def test_planted_giant_component_1m_edges(spark):
+    """VERDICT r3 #6 'done' criterion: a graph where >=50% of the nodes form
+    ONE component at 1M edges must converge, label correctly, and run within
+    ~2x of a uniform-component graph of the same edge count (the hot-label
+    broadcast path removes the giant component's shuffle skew)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    n = 1_000_000
+    # giant: nodes [hub..2*hub) form a clique-ish core via (j, j-hub edges
+    # anchored at 0); nodes [2*hub..n) each attach to a core node =>
+    # one ~1M-node component of diameter ~4 (plus no other components)
+    hub = 1_000
+    core = spark.range(hub).select(F.col("id").alias("id_a"),
+                                   F.lit(0).cast("long").alias("id_b"))
+    leaves = (spark.range(hub, n)
+              .select(F.col("id").alias("id_a"),
+                      (F.col("id") % hub).alias("id_b")))
+    giant_edges = core.union(leaves).localCheckpoint()
+    assert giant_edges.count() == n
+
+    # uniform baseline: 500k disjoint 2-node components from the same count
+    uniform_edges = (spark.range(n)
+                     .select((F.col("id") * 2).alias("id_a"),
+                             (F.col("id") * 2 + 1).alias("id_b"))
+                     .localCheckpoint())
+
+    t0 = time.perf_counter()
+    uni = connected_components(uniform_edges, hot_label_threshold=10_000)
+    n_uni = uni.count()
+    t_uniform = time.perf_counter() - t0
+    assert n_uni == 2 * n
+
+    t0 = time.perf_counter()
+    comp = connected_components(giant_edges, hot_label_threshold=10_000)
+    agg = comp.agg(F.count(F.lit(1)).alias("nodes"),
+                   F.count_distinct("component").alias("n_comp"),
+                   F.sum((F.col("component") == 0).cast("long"))
+                    .alias("in_giant")).collect()[0]
+    t_giant = time.perf_counter() - t0
+
+    assert agg["nodes"] == n          # hub..n plus 0
+    assert agg["n_comp"] == 1         # ONE giant component
+    assert agg["in_giant"] == n       # every node labeled by the min (0)
+    # runtime parity: generous floor absorbs shared-box jitter on tiny
+    # absolute times; the assertion still catches a quadratic/skew blow-up
+    assert t_giant <= max(2.0 * t_uniform, t_uniform + 20), (
+        t_giant, t_uniform)
