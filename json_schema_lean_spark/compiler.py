@@ -251,11 +251,14 @@ class ColumnarCompiler:
         uri: str = DEFAULT_URI,
         registry: Optional[dict[str, Any]] = None,
         message_style: str = "structured",
+        assert_formats: bool = False,
     ) -> None:
         #: "structured" (concise human messages) or "reference" (byte-parity
         #: with the Lean reportError strings — the offending value is
         #: compressed into the message at runtime, lean_compress_typed)
         self.message_style = message_style
+        #: opt-in draft-7 format assertion (annotation by default; formats.py)
+        self.assert_formats = assert_formats
         self.schema: Schema = parse_schema(schema_json)
         self.root_uri = uri
         self._schema_json = schema_json
@@ -520,6 +523,15 @@ class ColumnarCompiler:
             add_simple(lambda c, p=jpat: F.regexp_like(c, F.lit(p)),
                        "pattern", f"no match for {pat!r}",
                        ref=self._refb("pattern", dtype, pattern=pat))
+        if self.assert_formats and s.format is not None:
+            from .formats import format_predicate
+            fmt = s.format
+            if format_predicate(fmt, F.lit("")) is None:
+                raise CompileFallback(
+                    f"format {fmt!r} assertion has no native Spark "
+                    "expression (interpreter path handles it)")
+            add_simple(lambda c, f=fmt: format_predicate(f, c),
+                       "format", f"not a valid {fmt!r}")
 
     # ---- numerics -----------------------------------------------------------
 

@@ -1,0 +1,152 @@
+"""Draft-7 ``format`` keyword as an OPT-IN assertion (annotation by
+default).
+
+The reference planned but never implemented ``format``
+(JsonSchema/Format.lean is 0 LoC; /root/reference/README.md:68 lists it
+as future work), so there are no reference verdicts to match — draft-7
+§7.2 semantics apply: format is an annotation unless the implementation
+opts into assertion. Every engine path keeps format OFF by default
+(reference parity, pinned by fixtures/suite_official/draft7/format.json);
+``CompiledValidator(assert_formats=True)`` / ``ColumnarCompiler(...)`` /
+``VariantCompiler(...)`` turn it into an assertion.
+
+Each format is defined ONCE as a dialect-portable regex evaluated by
+Python ``re`` (interpreter path) and Java ``rlike`` (columnar/variant
+paths) — run through the same regex_dialect transpiler as the ``pattern``
+keyword, so cross-path verdicts agree by construction — plus, for
+date-bearing formats, a calendar check (Python ``datetime.date`` and
+Spark ``try_to_date`` agree on month lengths and leap years for years
+0001-9999; year 0000 is out of scope). Spec behaviors: non-string
+instances always pass, and UNKNOWN format names always pass.
+
+``format: "regex"`` (ECMA-262 validity) is interpreter-only: no native
+Spark expression can test regex compilability, so
+:func:`format_predicate` returns None for it and the columnar/variant
+compilers raise CompileFallback when asked to assert it — the strategy
+chain then routes those schemas to the Arrow interpreter.
+
+Notes on the chosen (documented) operating points:
+- ``time``/``date-time`` accept a leap second (``:60``) at any minute —
+  RFC 3339 permits leap seconds and checking "23:59:60 UTC only" needs
+  offset arithmetic that buys nothing at this fidelity level.
+- ``email`` is the pragmatic dot-atom form (no quoted local parts, no
+  address literals); ``hostname`` enforces label shape plus the 253-char
+  bound; ``uri`` requires an absolute URI (scheme present, no spaces,
+  no backslashes).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import date
+from typing import Callable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+_IPV4 = rf"{_OCTET}\.{_OCTET}\.{_OCTET}\.{_OCTET}"
+_H16 = r"[0-9A-Fa-f]{1,4}"
+# standard RFC 4291 shapes incl. :: compression and embedded IPv4
+_IPV6 = (
+    rf"(({_H16}:){{7}}{_H16}"
+    rf"|({_H16}:){{1,7}}:"
+    rf"|({_H16}:){{1,6}}:{_H16}"
+    rf"|({_H16}:){{1,5}}(:{_H16}){{1,2}}"
+    rf"|({_H16}:){{1,4}}(:{_H16}){{1,3}}"
+    rf"|({_H16}:){{1,3}}(:{_H16}){{1,4}}"
+    rf"|({_H16}:){{1,2}}(:{_H16}){{1,5}}"
+    rf"|{_H16}:(:{_H16}){{1,6}}"
+    rf"|:((:{_H16}){{1,7}}|:)"
+    rf"|({_H16}:){{1,4}}:{_IPV4}"
+    rf"|::([Ff][Ff][Ff][Ff](:0{{1,4}})?:)?{_IPV4})"
+)
+_DATE = r"[0-9]{4}-[0-9]{2}-[0-9]{2}"
+_TIME = (r"([01][0-9]|2[0-3]):[0-5][0-9]:([0-5][0-9]|60)"
+         r"(\.[0-9]+)?([Zz]|[+-]([01][0-9]|2[0-3]):[0-5][0-9])")
+_LABEL = r"[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+
+#: format name -> anchored, dialect-portable regex (shape check)
+FORMAT_REGEX: dict[str, str] = {
+    "date": f"^{_DATE}$",
+    "time": f"^{_TIME}$",
+    "date-time": f"^{_DATE}[Tt]{_TIME}$",
+    "ipv4": f"^{_IPV4}$",
+    "ipv6": f"^{_IPV6}$",
+    "email": (r"^[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@"
+              rf"{_LABEL}(\.{_LABEL})*$"),
+    "hostname": rf"^(?=.{{1,253}}$){_LABEL}(\.{_LABEL})*$",
+    "uri": r"^[A-Za-z][A-Za-z0-9+.\-]*:[^ \t\\]*$",
+    "json-pointer": r"^(/([^/~]|~[01])*)*$",
+}
+
+#: formats whose regex shape needs an extra calendar check on chars 1-10
+_DATE_BEARING = ("date", "date-time")
+
+
+def _calendar_ok(s: str) -> bool:
+    try:
+        y, m, d = int(s[0:4]), int(s[5:7]), int(s[8:10])
+        date(y, m, d)
+        return True
+    except ValueError:
+        return False
+
+
+def _regex_checker(pattern: str, calendar: bool) -> Callable[[str], bool]:
+    rx = re.compile(pattern)
+
+    def check(v: str) -> bool:
+        if rx.search(v) is None:
+            return False
+        return _calendar_ok(v) if calendar else True
+    return check
+
+
+def _ecma_regex_ok(v: str) -> bool:
+    try:
+        re.compile(v)
+        return True
+    except re.error:
+        return False
+
+
+#: format name -> str -> bool (Python side; interpreter path)
+FORMAT_CHECKERS: dict[str, Callable[[str], bool]] = {
+    name: _regex_checker(rx, calendar=name in _DATE_BEARING)
+    for name, rx in FORMAT_REGEX.items()
+}
+FORMAT_CHECKERS["regex"] = _ecma_regex_ok
+
+
+def check_format(name: str, value) -> bool:
+    """Python-side assertion: True when ``value`` satisfies ``name``.
+    Non-strings and unknown format names always pass (draft-7 §7.2)."""
+    if not isinstance(value, str):
+        return True
+    checker = FORMAT_CHECKERS.get(name)
+    return True if checker is None else checker(value)
+
+
+def format_predicate(name: str, col: Column) -> Optional[Column]:
+    """Spark-side assertion over a STRING column (caller guards the type):
+    a boolean Column, or None when the format cannot be asserted natively
+    (``regex``: no Spark expression tests regex compilability — callers
+    raise CompileFallback so the interpreter path takes over). Unknown
+    formats return a literal True (annotation)."""
+    if name == "regex":
+        return None
+    pattern = FORMAT_REGEX.get(name)
+    if pattern is None:
+        return F.lit(True)
+    from .regex_dialect import to_java_regex
+    jpat = to_java_regex(pattern)
+    if jpat is None:  # all FORMAT_REGEX entries transpile (pytest-pinned)
+        return None
+    pred = col.rlike(jpat)
+    if name in _DATE_BEARING:
+        # format must be a plain str: classic pyspark's try_to_date tries
+        # to ITERATE a Column format arg (py4j list conversion) and dies
+        pred = pred & F.try_to_date(F.substring(col, 1, 10),
+                                    "yyyy-MM-dd").isNotNull()
+    return pred

@@ -117,11 +117,16 @@ class CompiledValidator:
         registry: Optional[dict[str, Any]] = None,
         fuel: int = DEFAULT_FUEL,
         message_style: str = "structured",
+        assert_formats: bool = False,
     ) -> None:
         #: "structured" (default, human-oriented) or "reference" —
         #: byte-format of the Lean reportError strings (lean_messages.py;
         #: goldens from JsonSchemaTesting/Examples.lean pinned in tests)
         self.message_style = message_style
+        #: draft-7 default: format is an annotation (and the reference
+        #: never implemented it — Format.lean 0 LoC); True turns the
+        #: formats.py checkers into assertions
+        self.assert_formats = assert_formats
         self.schema: Schema = parse_schema(schema_json)
         self.root_uri = uri
         self.fuel = fuel
@@ -262,6 +267,18 @@ class CompiledValidator:
             elif rx.search(value) is None:
                 if err("pattern", f"no match for {s.pattern!r}",
                        pattern=s.pattern):
+                    return
+        if (self.assert_formats and s.format is not None
+                and isinstance(value, str)):
+            from .formats import check_format
+            if not check_format(s.format, value):
+                # no reference message shape exists for format (the
+                # reference never implemented it) — emit directly instead
+                # of routing through err()'s reference_message styling
+                out.append(Violation(
+                    "format", ptr,
+                    f"{value!r} is not a valid {s.format!r}"))
+                if not collect_all:
                     return
         if is_number(value):
             x = float(value)

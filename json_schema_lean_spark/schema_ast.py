@@ -64,6 +64,8 @@ class SchemaObject:
     max_length: Optional[int] = None
     min_length: Optional[int] = None
     pattern: Optional[str] = None
+    #: draft-7 §7 annotation; asserted only on explicit opt-in (formats.py)
+    format: Optional[str] = None
     maximum: Optional[float] = None
     minimum: Optional[float] = None
     exclusive_maximum: Optional[float] = None
@@ -206,6 +208,14 @@ def parse_schema(j: Any) -> Schema:
             raise SchemaParseError("pattern must be a string")
         obj.pattern = v
 
+    # format: parsed as an ANNOTATION (the reference never implemented it —
+    # Format.lean 0 LoC); assertion is an explicit opt-in on each compiler
+    v = opt("format")
+    if v is not ABSENT:
+        if not isinstance(v, str):
+            raise SchemaParseError("format must be a string")
+        obj.format = v
+
     # --- recursive fields ---
     obj.items, _items_rest = _parse_items(j)
 
@@ -342,6 +352,8 @@ def schema_to_json(s: Schema) -> Any:
         out["minLength"] = s.min_length
     if s.pattern is not None:
         out["pattern"] = s.pattern
+    if s.format is not None:
+        out["format"] = s.format
     if s.maximum is not None:
         out["maximum"] = s.maximum
     if s.minimum is not None:

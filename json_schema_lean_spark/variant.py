@@ -389,7 +389,10 @@ class VariantCompiler:
         child_columns: Optional[dict[str, Column]] = None,
         message_style: str = "structured",
         deep_ref_behavior: str = "error",
+        assert_formats: bool = False,
     ) -> None:
+        #: opt-in draft-7 format assertion (annotation by default; formats.py)
+        self.assert_formats = assert_formats
         #: past-MAX_VARIANT_DEPTH / past-MAX_CANON_DEPTH instance behavior:
         #: "error" = loud job abort (never a wrong verdict, the default);
         #: "invalid" = verdict False + $recursion violation (batch survives,
@@ -627,6 +630,15 @@ class VariantCompiler:
             add_simple(gated(lambda v, p=jpat: F.regexp_like(_sval(v), F.lit(p))),
                        "pattern", f"no match for {pat!r}",
                        ref=self._refb("pattern", pattern=pat))
+        if self.assert_formats and s.format is not None:
+            from .formats import format_predicate
+            fmt = s.format
+            if format_predicate(fmt, F.lit("")) is None:
+                raise CompileFallback(
+                    f"format {fmt!r} assertion has no native Spark "
+                    "expression (interpreter path handles it)")
+            add_simple(gated(lambda v, f=fmt: format_predicate(f, _sval(v))),
+                       "format", f"not a valid {fmt!r}")
 
     # ---- numerics ---------------------------------------------------------
 
