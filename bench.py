@@ -13,10 +13,11 @@ in extras as <name>_runs_sec.
 
 Contention telemetry (r4, after BENCH_r03's 3x phantom regression —
 neighbor load on the shared box inflated a 1.0s warm query to 15.5s):
-every run records wall time, the JVM's own CPU seconds (from
-/proc/<pid>/stat — ``time.process_time()`` only covers the Python driver,
-which does ~none of the work in PySpark), and the EXTERNAL busy cores on
-the machine (machine-wide /proc/stat busy minus our JVM+driver share).
+every run records wall time, the CPU seconds of our WHOLE process tree
+(driver + JVM + pyspark worker descendants, from /proc/<pid>/stat —
+``time.process_time()`` only covers the Python driver, which does ~none
+of the work in PySpark), and the EXTERNAL busy cores on the machine
+(machine-wide /proc/stat busy minus our tree's share).
 A query whose warm runs disperse >2x, or whose best run saw significant
 external load, is re-run up to 3 extra times; if pressure persists the
 artifact says so in ``contention_flagged_queries`` instead of silently
@@ -66,34 +67,40 @@ from __spark_entry__ import EVENT_PROPS_SCHEMA  # noqa: E402
 _CLK_TCK = os.sysconf("SC_CLK_TCK")
 
 
-def _find_jvm_pid() -> int:
-    """The Spark JVM is a direct child of this Python driver."""
-    me = str(os.getpid())
+def _tree_cpu_sec() -> float:
+    """CPU seconds owned by THIS process tree: the Python driver, the Spark
+    JVM child, and every descendant — crucially the pyspark.daemon/worker
+    processes that burn the CPU of pandas-UDF stages (they are
+    grandchildren of the driver; counting only the JVM made UDF-heavy
+    queries look like NEIGHBOR load and self-flag as contended).
+    Includes each process's reaped-children time (cutime+cstime) so a
+    worker that dies between samples still shows up in its parent."""
+    me = os.getpid()
+    ppid_of: dict[int, int] = {}
+    cpu_of: dict[int, float] = {}
     for p in os.listdir("/proc"):
         if not p.isdigit():
             continue
         try:
             with open(f"/proc/{p}/stat") as f:
-                parts = f.read().rsplit(")", 1)[1].split()
-            comm_path = f"/proc/{p}/comm"
-            with open(comm_path) as f:
-                comm = f.read().strip()
-        except OSError:
+                tail = f.read().rsplit(")", 1)[1].split()
+            ppid_of[int(p)] = int(tail[1])
+            # utime stime cutime cstime = tail[11..14]
+            cpu_of[int(p)] = sum(int(tail[i]) for i in (11, 12, 13, 14)) \
+                / _CLK_TCK
+        except (OSError, IndexError, ValueError):
             continue
-        # after ')': state ppid ... ; ppid is field 0 of the tail
-        if parts[1] == me and "java" in comm:
-            return int(p)
-    return -1
-
-
-def _proc_cpu_sec(pid: int) -> float:
-    """utime+stime of one process, in seconds (0.0 if unreadable)."""
-    try:
-        with open(f"/proc/{pid}/stat") as f:
-            tail = f.read().rsplit(")", 1)[1].split()
-        return (int(tail[11]) + int(tail[12])) / _CLK_TCK  # utime, stime
-    except (OSError, IndexError, ValueError):
-        return 0.0
+    total = 0.0
+    for pid, cpu in cpu_of.items():
+        q = pid
+        for _ in range(64):  # bounded ancestor walk
+            if q == me:
+                total += cpu
+                break
+            q = ppid_of.get(q, 0)
+            if q <= 1:
+                break
+    return total
 
 
 def _machine_busy_sec() -> float:
@@ -113,7 +120,50 @@ def force(df) -> int:
     return df.select(F.count(F.lit(1))).collect()[0][0]
 
 
+def _sf1_child() -> None:
+    """Fresh-JVM child (SPARK_GRAFT_SF1_CHILD=1): the 6M-doc steady-state
+    spans_validate point. Prints one JSON line of extras."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("json-schema-lean-spark-bench-sf1")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.driver.memory", "48g")
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf1_docs = 6_000_000
+    sf1_path = f"/tmp/spark_graft_spans_{sf1_docs}"
+    if not os.path.exists(sf1_path):
+        spans_documents(spark, sf1_docs, partitions=cpus * 4) \
+            .write.mode("overwrite").parquet(sf1_path)
+    spans_sf1 = spark.read.parquet(sf1_path)
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        row = (validate_spans_best(spans_sf1, SPAN_SCHEMA,
+                                   keep_cols=["doc_id"])
+               .select(F.count(F.lit(1)).alias("n"),
+                       F.sum(F.col("valid").cast("long")).alias("ok"))
+               .collect()[0])
+        runs.append(round(time.perf_counter() - t0, 3))
+    print(json.dumps({
+        "spans_sf1_docs": row["n"],
+        "spans_sf1_valid": row["ok"],
+        "spans_sf1_runs_sec": runs,
+        "spans_sf1_docs_per_sec": round(row["n"] / min(runs), 1),
+    }))
+
+
 def main() -> None:
+    if os.environ.get("SPARK_GRAFT_SF1_CHILD") == "1":
+        _sf1_child()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if not os.path.isdir(sf_dir):
         print(json.dumps({"error": f"SF dir not found: {sf_dir}"}))
@@ -133,13 +183,16 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.driver.memory", "48g")
+        # ~30 query compilations x 3 runs overflow the default 240m JVM
+        # code cache, silently disabling JIT for later queries (measured:
+        # the sf1 plan fell from 4.6s to 69s in-process)
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    jvm_pid = _find_jvm_pid()
-    me = os.getpid()
     start_load = round(os.getloadavg()[0], 2)
 
     timings: dict[str, float] = {}
@@ -162,11 +215,11 @@ def main() -> None:
         def one():
             loads.append(round(os.getloadavg()[0], 2))
             busy0 = _machine_busy_sec()
-            c0 = _proc_cpu_sec(jvm_pid) + _proc_cpu_sec(me)
+            c0 = _tree_cpu_sec()
             t0 = time.perf_counter()
             rows_cell[:] = [fn()]
             wall = time.perf_counter() - t0
-            ours = _proc_cpu_sec(jvm_pid) + _proc_cpu_sec(me) - c0
+            ours = _tree_cpu_sec() - c0
             ext = max(0.0, _machine_busy_sec() - busy0 - ours)
             runs.append(round(wall, 3))
             jvm_cpu.append(round(ours, 2))
@@ -196,7 +249,7 @@ def main() -> None:
         extras[f"{name}_rows"] = rows_cell[0]
         extras[f"{name}_runs_sec"] = runs
         extras[f"{name}_loadavg1"] = loads
-        extras[f"{name}_jvm_cpu_sec"] = jvm_cpu
+        extras[f"{name}_tree_cpu_sec"] = jvm_cpu
         extras[f"{name}_external_cores"] = ext_cores
         if extra:
             extras[f"{name}_contention_reruns"] = extra
@@ -253,26 +306,21 @@ def main() -> None:
 
     # sf1 steady-state point (verdict r3 #5): at sf0.1 the headline is
     # dominated by fixed per-job cost; a 6M-doc spans_validate run shows the
-    # amortized throughput in the SAME artifact. Two runs: cold, warm.
+    # amortized throughput in the SAME artifact. Runs in a FRESH subprocess
+    # JVM: measured in-process, the ~30 prior query compilations exhaust the
+    # JVM code cache and the sf1 plan runs interpreted (69s instead of ~4s)
+    # — a fresh JVM is also the honest "one-shot batch job" being claimed.
     if os.environ.get("SPARK_GRAFT_SF1", "1") == "1" and sf >= 0.05:
-        sf1_docs = 6_000_000
-        sf1_path = f"/tmp/spark_graft_spans_{sf1_docs}"
-        if not os.path.exists(sf1_path):
-            spans_documents(spark, sf1_docs, partitions=cpus * 4) \
-                .write.mode("overwrite").parquet(sf1_path)
-        spans_sf1 = spark.read.parquet(sf1_path)
-        sf1_runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            row = (validate_spans_best(spans_sf1, SPAN_SCHEMA,
-                                       keep_cols=["doc_id"])
-                   .select(F.count(F.lit(1)).alias("n"),
-                           F.sum(F.col("valid").cast("long")).alias("ok"))
-                   .collect()[0])
-            sf1_runs.append(round(time.perf_counter() - t0, 3))
-        extras["spans_sf1_docs"] = row["n"]
-        extras["spans_sf1_runs_sec"] = sf1_runs
-        extras["spans_sf1_docs_per_sec"] = round(row["n"] / min(sf1_runs), 1)
+        import subprocess
+        env = dict(os.environ, SPARK_GRAFT_SF1_CHILD="1",
+                   SPARK_GRAFT_CPUS=str(cpus))
+        try:
+            child = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=1200)
+            extras.update(json.loads(child.stdout.strip().splitlines()[-1]))
+        except Exception as exc:  # never lose the headline artifact
+            extras["spans_sf1_error"] = f"{type(exc).__name__}: {exc}"
 
     total = round(sum(timings.values()), 3)
     extras["loadavg_at_start"] = start_load

@@ -30,6 +30,8 @@ spark = (SparkSession.builder.master(f"local[{cores}]")
          .config("spark.sql.files.maxPartitionBytes", "4m")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.driver.memory", "48g")
+         .config("spark.driver.extraJavaOptions",
+                 "-XX:ReservedCodeCacheSize=512m")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 spans = spark.read.parquet(path)
