@@ -48,6 +48,7 @@ def validate_dataframe(
     registry: Optional[dict[str, Any]] = None,
     uri: str = "",
     message_style: str = "structured",
+    assert_formats: bool = False,
 ) -> DataFrame:
     """Columnar validation. Adds ``valid`` (boolean) and ``violations``
     (array<struct<keyword,json_pointer,message>>) columns.
@@ -58,7 +59,8 @@ def validate_dataframe(
     (lean_messages.py) with the offending value compressed in at runtime.
     """
     comp = ColumnarCompiler(schema_json, uri=uri, registry=registry,
-                            message_style=message_style)
+                            message_style=message_style,
+                            assert_formats=assert_formats)
     if doc_col is None:
         instance = F.struct(*[F.col(c) for c in df.columns])
         dtype = StructType([f for f in df.schema.fields])
@@ -369,7 +371,8 @@ def violation_rows(validated: DataFrame, id_cols: list[str],
 def json_validator_udf(schema_json: Any, registry: Optional[dict[str, Any]] = None,
                        uri: str = "", fuel: int = DEFAULT_FUEL,
                        collect_all: bool = True,
-                       message_style: str = "structured"):
+                       message_style: str = "structured",
+                       assert_formats: bool = False):
     """Vectorized pandas UDF: json-string column -> struct(valid, violations).
 
     The CompiledValidator is built lazily ONCE per executor process (the
@@ -382,7 +385,8 @@ def json_validator_udf(schema_json: Any, registry: Optional[dict[str, Any]] = No
         if "v" not in state:
             state["v"] = CompiledValidator(schema_json, uri=uri,
                                            registry=registry, fuel=fuel,
-                                           message_style=message_style)
+                                           message_style=message_style,
+                                           assert_formats=assert_formats)
         return state["v"]
 
     @pandas_udf(RESULT_SCHEMA)
@@ -410,7 +414,8 @@ def json_validator_udf(schema_json: Any, registry: Optional[dict[str, Any]] = No
 
 
 def json_verdict_udf(schema_json: Any, registry: Optional[dict[str, Any]] = None,
-                     uri: str = "", fuel: int = DEFAULT_FUEL):
+                     uri: str = "", fuel: int = DEFAULT_FUEL,
+                     assert_formats: bool = False):
     """Verdict-only pandas UDF: json string -> boolean. Short-circuits on the
     first failing keyword (reference Except-monad behavior) and skips
     violation-struct construction — ~2x the throughput of the full UDF."""
@@ -419,7 +424,8 @@ def json_verdict_udf(schema_json: Any, registry: Optional[dict[str, Any]] = None
     def _get() -> CompiledValidator:
         if "v" not in state:
             state["v"] = CompiledValidator(schema_json, uri=uri,
-                                           registry=registry, fuel=fuel)
+                                           registry=registry, fuel=fuel,
+                                           assert_formats=assert_formats)
         return state["v"]
 
     @pandas_udf("boolean")
@@ -446,7 +452,8 @@ def validate_json_column(df: DataFrame, json_col: str, schema_json: Any,
                          verdict_only: bool = False,
                          prefer_variant: bool = True,
                          message_style: str = "structured",
-                         deep_ref_behavior: str = "error") -> DataFrame:
+                         deep_ref_behavior: str = "error",
+                         assert_formats: bool = False) -> DataFrame:
     """Validation of a JSON string column. Adds valid (+ violations unless
     verdict_only).
 
@@ -468,14 +475,17 @@ def validate_json_column(df: DataFrame, json_col: str, schema_json: Any,
             return validate_json_column_variant(
                 df, json_col, schema_json, registry=registry, uri=uri,
                 verdict_only=verdict_only, message_style=message_style,
-                deep_ref_behavior=deep_ref_behavior)
+                deep_ref_behavior=deep_ref_behavior,
+                assert_formats=assert_formats)
         except CompileFallback:
             pass
     if verdict_only:
-        udf = json_verdict_udf(schema_json, registry=registry, uri=uri, fuel=fuel)
+        udf = json_verdict_udf(schema_json, registry=registry, uri=uri,
+                               fuel=fuel, assert_formats=assert_formats)
         return df.withColumn("valid", udf(F.col(json_col)))
     udf = json_validator_udf(schema_json, registry=registry, uri=uri, fuel=fuel,
-                             message_style=message_style)
+                             message_style=message_style,
+                             assert_formats=assert_formats)
     res = udf(F.col(json_col))
     return df.withColumns({
         "valid": res.getField("valid"),

@@ -1179,7 +1179,8 @@ def validate_json_column_variant(df, json_col: str, schema_json: Any,
                                  uri: str = DEFAULT_URI,
                                  verdict_only: bool = False,
                                  message_style: str = "structured",
-                                 deep_ref_behavior: str = "error"):
+                                 deep_ref_behavior: str = "error",
+                                 assert_formats: bool = False):
     """Variant-path validation of a JSON string column. Adds ``valid`` (+
     ``violations`` unless verdict_only). Contract matches the Arrow path
     (validate_json_column): NULL input -> NULL verdict; unparseable JSON ->
@@ -1188,7 +1189,8 @@ def validate_json_column_variant(df, json_col: str, schema_json: Any,
     def build() -> dict:
         comp = VariantCompiler(schema_json, uri=uri, registry=registry,
                                message_style=message_style,
-                               deep_ref_behavior=deep_ref_behavior)
+                               deep_ref_behavior=deep_ref_behavior,
+                               assert_formats=assert_formats)
         raw = F.col(json_col)
 
         # Generate barrier (measured 3x at sf0.1): projections INLINE aliased
@@ -1248,7 +1250,7 @@ def validate_json_column_variant(df, json_col: str, schema_json: Any,
     # memoized so repeat batches skip the py4j expression rebuild
     plan = plan_memo("variant", df, schema_json, registry,
                      (json_col, uri, verdict_only, message_style,
-                      deep_ref_behavior), build)
+                      deep_ref_behavior, assert_formats), build)
     # per-consuming-session, not only at build time: a cache hit from a
     # sibling session never ran the compiler's budget raise
     _ensure_analyzer_budget(spark=df.sparkSession)

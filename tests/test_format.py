@@ -128,3 +128,56 @@ def test_format_round_trips_through_schema_to_json():
     from json_schema_lean_spark.schema_ast import parse_schema, schema_to_json
     j = {"type": "string", "format": "ipv4"}
     assert schema_to_json(parse_schema(j)) == j
+
+
+def test_operator_level_pass_through(spark):
+    """assert_formats flows through the public operator APIs, including the
+    CompileFallback route: format:'regex' cannot lower to Spark expressions,
+    so validate_json_column must fall back to the Arrow interpreter AND
+    still assert the format there."""
+    from json_schema_lean_spark.operators.validation import (
+        validate_dataframe,
+        validate_json_column,
+    )
+
+    # columnar: string column validated directly
+    df = spark.createDataFrame([("127.0.0.1",), ("999.0.0.1",)], "s string")
+    schema = {"type": "string", "format": "ipv4"}
+    out = {r["s"]: r["valid"] for r in validate_dataframe(
+        df, schema, doc_col="s", assert_formats=True).collect()}
+    assert out == {"127.0.0.1": True, "999.0.0.1": False}
+    # default stays annotation
+    out = {r["s"]: r["valid"]
+           for r in validate_dataframe(df, schema, doc_col="s").collect()}
+    assert out == {"127.0.0.1": True, "999.0.0.1": True}
+
+    # variant route (JSON column)
+    jdf = spark.createDataFrame(
+        [('"joe@example.com"',), ('"nope"',)], "j string")
+    eschema = {"type": "string", "format": "email"}
+    out = {r["j"]: r["valid"] for r in validate_json_column(
+        jdf, "j", eschema, assert_formats=True).collect()}
+    assert out == {'"joe@example.com"': True, '"nope"': False}
+
+    # interpreter fallback route: format 'regex' forces CompileFallback
+    rdf = spark.createDataFrame([('"[a-z]+"',), ('"("',)], "j string")
+    rschema = {"type": "string", "format": "regex"}
+    out = {r["j"]: r["valid"] for r in validate_json_column(
+        rdf, "j", rschema, assert_formats=True).collect()}
+    assert out == {'"[a-z]+"': True, '"("': False}
+    # and with assertion off the same schema validates everything
+    out = {r["j"]: r["valid"]
+           for r in validate_json_column(rdf, "j", rschema).collect()}
+    assert out == {'"[a-z]+"': True, '"("': True}
+
+
+def test_plan_cache_keys_on_assert_formats(spark):
+    """The memoized variant plan must not be shared across assert_formats
+    values — same schema, different option, different verdicts."""
+    from json_schema_lean_spark.variant import validate_json_column_variant
+    df = spark.createDataFrame([('"not-an-ip"',)], "j string")
+    schema = {"format": "ipv4"}
+    on = validate_json_column_variant(
+        df, "j", schema, assert_formats=True).collect()[0]["valid"]
+    off = validate_json_column_variant(df, "j", schema).collect()[0]["valid"]
+    assert on is False and off is True
