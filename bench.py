@@ -276,9 +276,14 @@ def main() -> None:
     extras["spans_valid"] = n_valid["ok"]
     extras["docs_per_sec"] = round(n_valid["n"] / timings["spans_validate"], 1)
 
-    from json_schema_lean_spark.operators.validation import violation_rows_fast
+    # violation_rows_best: fused-verdict prefilter screens passing docs
+    # before the heavy per-span collector runs (row-identical to
+    # violation_rows_fast, pytest-pinned; measured 2-3.7x faster warm at
+    # 600k/6M docs because the collector expression is too large for
+    # whole-stage codegen and only rare failing docs should pay it)
+    from json_schema_lean_spark.operators.validation import violation_rows_best
     bench("violation_rows", lambda: force(
-        violation_rows_fast(spans, SPAN_SCHEMA, id_cols=["doc_id"])))
+        violation_rows_best(spans, SPAN_SCHEMA, id_cols=["doc_id"])))
 
     bench("events_props", lambda: force(
         validate_json_column(
