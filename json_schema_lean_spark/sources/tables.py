@@ -34,16 +34,47 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
 #: formats the scan/sink adapters accept. parquet is the scale default
 #: (columnar, statistics, pushdown); json = JSON Lines, full nested-struct
 #: fidelity for interchange (spans arrays round-trip); csv is flat-schema
-#: interchange only (nested columns are rejected by Spark's CSV writer).
-FORMATS = ("parquet", "json", "csv")
+#: interchange only (nested columns are rejected by Spark's CSV writer);
+#: iceberg = the north-rule table format, usable when the runtime ships the
+#: iceberg-spark-runtime jar (not present in this sandbox — see
+#: require_iceberg / checkpointing's snapshot-id surrogate).
+FORMATS = ("parquet", "json", "csv", "iceberg")
+
+#: Iceberg time-travel options forwarded verbatim by read_table; with a
+#: real catalog these give the checkpoint manifest an exact input pin
+#: (lineage: input snapshot-id) instead of the content-hash surrogate.
+ICEBERG_READ_OPTIONS = ("snapshot-id", "as-of-timestamp", "branch", "tag")
+
+
+def require_iceberg(spark: SparkSession) -> None:
+    """Fail fast with an actionable message when the Iceberg runtime is
+    absent (this sandbox): the DataSource V2 lookup otherwise surfaces as a
+    ClassNotFoundException deep inside an executor stack."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource")
+    except Exception:
+        raise RuntimeError(
+            "format='iceberg' needs the iceberg-spark-runtime jar on the "
+            "cluster (spark.jars.packages=org.apache.iceberg:"
+            "iceberg-spark-runtime-...) and a configured catalog; this "
+            "sandbox has neither — use format='parquet' (same Catalyst "
+            "pushdown/pruning; checkpoint lineage falls back to the "
+            "content-hash snapshot surrogate)") from None
 
 
 def read_table(spark: SparkSession, path: str, format: str = "parquet",
                schema=None, **options) -> DataFrame:
     """Format-dispatching scan. A schema should be passed for json/csv at
-    scale — inference re-reads the input; parquet carries its own."""
+    scale — inference re-reads the input; parquet and iceberg carry their
+    own. For iceberg, ``path`` is a catalog table identifier (or metadata
+    path) and ``snapshot-id`` / ``as-of-timestamp`` / ``branch`` / ``tag``
+    options time-travel the scan."""
     if format not in FORMATS:
         raise ValueError(f"unsupported format {format!r}; one of {FORMATS}")
+    if format == "iceberg":
+        require_iceberg(spark)
+        return spark.read.format("iceberg").options(**options).load(path)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -60,6 +91,8 @@ def write_table(df: DataFrame, path: str, format: str = "parquet",
     """Format-dispatching sink (verdict/violation outputs, baselines)."""
     if format not in FORMATS:
         raise ValueError(f"unsupported format {format!r}; one of {FORMATS}")
+    if format == "iceberg":
+        require_iceberg(df.sparkSession)
     if format == "csv":
         options.setdefault("header", "true")
     w = df.write.mode(mode).options(**options)

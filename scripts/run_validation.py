@@ -64,6 +64,13 @@ def main() -> None:
     spark = (builder
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.adaptive.skewJoin.enabled", "true")
+             # long checkpointed runs compile many generated classes; the
+             # JVM's default 240m code cache overflows and silently disables
+             # JIT (bench r4 measured a 15x slowdown once full). Only
+             # effective for LOCAL runs (builder launches the JVM); under
+             # spark-submit pass it via --conf on the executors instead.
+             .config("spark.driver.extraJavaOptions",
+                     "-XX:ReservedCodeCacheSize=512m")
              .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 

@@ -481,6 +481,27 @@ def test_csv_roundtrip_flat_table(spark, tmp_path):
            {r["doc_id"] for r in docs.select("doc_id").collect()}
 
 
+def test_iceberg_format_gated_with_actionable_error(spark):
+    """format='iceberg' is a first-class FORMATS member; without the
+    runtime jar (this sandbox) both adapters fail fast with a message
+    naming the fix instead of a deep executor ClassNotFoundException."""
+    import pytest
+
+    from json_schema_lean_spark.sources.tables import (
+        FORMATS,
+        ICEBERG_READ_OPTIONS,
+        read_table,
+        write_table,
+    )
+    assert "iceberg" in FORMATS
+    assert "snapshot-id" in ICEBERG_READ_OPTIONS
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        read_table(spark, "catalog.db.tbl", format="iceberg")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        docs = spark.range(3)
+        write_table(docs, "catalog.db.tbl", format="iceberg")
+
+
 def test_lsh_topk_banded_recall_vs_brute(spark):
     from json_schema_lean_spark.operators.similarity import lsh_topk_banded
 
