@@ -88,6 +88,7 @@ def validate_documents_exploded(
     uri: str = "",
     keep_cols: Optional[list[str]] = None,
     message_style: str = "structured",
+    assert_formats: bool = False,
 ) -> DataFrame:
     """Explode-strategy validation for the north_rule input shape
     (scalar doc columns + ONE array<struct> column with Single-items
@@ -124,7 +125,8 @@ def validate_documents_exploded(
         doc_props[spans_col] = span_prop_doc
         doc_schema_json["properties"] = doc_props
         comp = ColumnarCompiler(schema_json, uri=uri, registry=registry,
-                                message_style=message_style)
+                                message_style=message_style,
+                                assert_formats=assert_formats)
         doc_dtype = StructType([f for f in df.schema.fields])
         doc_low = comp.lower_node(doc_schema_json, doc_dtype, base_uri=uri)
 
@@ -154,7 +156,7 @@ def validate_documents_exploded(
     # checkpointed run's per-unit loop (checkpointing.run) and repeat batches
     # skip the py4j expression rebuild (plan_cache docstring)
     plan = plan_memo("exploded", df, schema_json, registry,
-                     (spans_col, uri, message_style), build)
+                     (spans_col, uri, message_style, assert_formats), build)
     doc_valid, doc_viols = plan["dok"], plan["dviols"]
     span_valid, span_viols = plan["sv"], plan["svv"]
 
@@ -212,6 +214,7 @@ def violation_rows_fast(
     registry: Optional[dict[str, Any]] = None,
     uri: str = "",
     message_style: str = "structured",
+    assert_formats: bool = False,
 ) -> DataFrame:
     """Violation ROWS (id..., span_idx, keyword, json_pointer, message) with
     ZERO shuffle and one scan — the 100 TB production shape for the
@@ -245,7 +248,8 @@ def violation_rows_fast(
         doc_props[spans_col] = span_prop_doc
         doc_schema_json["properties"] = doc_props
         comp = ColumnarCompiler(schema_json, uri=uri, registry=registry,
-                                message_style=message_style)
+                                message_style=message_style,
+                                assert_formats=assert_formats)
         doc_dtype = StructType([f for f in df.schema.fields])
         doc_low = comp.lower_node(doc_schema_json, doc_dtype, base_uri=uri)
 
@@ -290,7 +294,7 @@ def violation_rows_fast(
     # id_cols are plain strings passed straight to select, not part of the
     # cached expressions.
     plan = plan_memo("violation_rows_fast", df, schema_json, registry,
-                     (spans_col, uri, message_style), build)
+                     (spans_col, uri, message_style, assert_formats), build)
 
     ids = id_cols if id_cols is not None else [df.columns[0]]
     base = df.select(*ids, plan["dviols"], plan["posexp"])
@@ -313,6 +317,7 @@ def violation_rows_best(
     id_cols: Optional[list[str]] = None,
     registry: Optional[dict[str, Any]] = None,
     uri: str = "",
+    assert_formats: bool = False,
 ) -> DataFrame:
     """Violation rows with a fused-verdict PREFILTER (r2): the cheap fused
     boolean (codegen, zero shuffle, no lambdas) screens out passing docs
@@ -325,13 +330,16 @@ def violation_rows_best(
     try:
         flagged = validate_documents_fused(
             df, schema_json, spans_col=spans_col, registry=registry, uri=uri,
-            keep_cols=list(df.columns), with_violations=False)
+            keep_cols=list(df.columns), with_violations=False,
+            assert_formats=assert_formats)
     except FusedUnsupported:
         return violation_rows_fast(df, schema_json, spans_col=spans_col,
-                                   id_cols=id_cols, registry=registry, uri=uri)
+                                   id_cols=id_cols, registry=registry, uri=uri,
+                                   assert_formats=assert_formats)
     failing = flagged.where(~F.col("valid")).drop("valid")
     return violation_rows_fast(failing, schema_json, spans_col=spans_col,
-                               id_cols=id_cols, registry=registry, uri=uri)
+                               id_cols=id_cols, registry=registry, uri=uri,
+                               assert_formats=assert_formats)
 
 
 def partition_verdict_metrics(validated: DataFrame) -> DataFrame:
@@ -498,7 +506,8 @@ def validate_spans_best(df: DataFrame, schema_json: Any,
                         registry: Optional[dict[str, Any]] = None,
                         uri: str = "",
                         keep_cols: Optional[list[str]] = None,
-                        message_style: str = "structured") -> DataFrame:
+                        message_style: str = "structured",
+                        assert_formats: bool = False) -> DataFrame:
     """Best-available strategy chain for spans-shaped document tables:
     fused-array (codegen, zero shuffle) -> explode+agg (codegen, verdict
     shuffle) -> forall projection (interpreted HOF, zero shuffle). All three
@@ -517,17 +526,20 @@ def validate_spans_best(df: DataFrame, schema_json: Any,
         return validate_documents_fused(df, schema_json, spans_col=spans_col,
                                         registry=registry, uri=uri,
                                         keep_cols=keep_cols,
-                                        message_style=message_style)
+                                        message_style=message_style,
+                                        assert_formats=assert_formats)
     except FusedUnsupported:
         pass
     try:
         return validate_documents_exploded(df, schema_json, spans_col=spans_col,
                                            registry=registry, uri=uri,
                                            keep_cols=keep_cols,
-                                           message_style=message_style)
+                                           message_style=message_style,
+                                           assert_formats=assert_formats)
     except CompileFallback:
         out = validate_dataframe(df, schema_json, registry=registry, uri=uri,
-                                 message_style=message_style)
+                                 message_style=message_style,
+                                 assert_formats=assert_formats)
         keep = keep_cols if keep_cols is not None else list(df.columns)
         return out.select(*keep, "valid", "violations")
 

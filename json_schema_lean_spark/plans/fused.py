@@ -161,7 +161,9 @@ def fused_items_verdict(comp: ColumnarCompiler, items_schema: Schema,
             clauses.append(F.size(F.array_compact(arr.getField(name))) == 0)
             continue
         clauses.extend(
-            _fused_property_clauses(sub, arr.getField(name), field_type[name]))
+            _fused_property_clauses(sub, arr.getField(name), field_type[name],
+                                    assert_formats=getattr(
+                                        comp, "assert_formats", False)))
 
     if not clauses:
         return F.lit(True)
@@ -188,7 +190,8 @@ def _fused_joined_length_clause(compact: Column, bad_re: str, slow) -> Column:
 
 
 def _fused_property_clauses(s: SchemaObject, field_arr: Column,
-                            dtype: Any) -> list[Column]:
+                            dtype: Any,
+                            assert_formats: bool = False) -> list[Column]:
     """Per-field keyword clauses over the extracted field array (nulls =
     absent keys: array_compact / array_min skip them, preserving the
     type-guard semantics)."""
@@ -211,6 +214,10 @@ def _fused_property_clauses(s: SchemaObject, field_arr: Column,
         s.max_items is not None, s.min_items is not None,
         s.max_properties is not None, s.min_properties is not None,
         s.property_names is not None, s.additional_items is not None,
+        # format assertion is the general compiler's job (rlike + calendar
+        # check); refusing here routes the chain to the exploded strategy
+        # rather than silently dropping the assertion
+        assert_formats and s.format is not None,
     ]
     if any(unsupported):
         raise FusedUnsupported("property keyword outside fused subset")
@@ -300,6 +307,7 @@ def validate_documents_fused(
     keep_cols: Optional[list[str]] = None,
     with_violations: bool = True,
     message_style: str = "structured",
+    assert_formats: bool = False,
 ) -> DataFrame:
     """Full validation at fused speed: fused verdict + forall-plan violation
     detail evaluated ONLY on failing rows. Output schema matches
@@ -318,7 +326,8 @@ def validate_documents_fused(
 
     def build() -> dict:
         comp = ColumnarCompiler(schema_json, uri=uri, registry=registry,
-                                message_style=message_style)
+                                message_style=message_style,
+                                assert_formats=assert_formats)
 
         # doc-level plan = schema minus the items subschema (array-size
         # keywords stay doc-level), lowered by the general compiler
@@ -359,6 +368,7 @@ def validate_documents_fused(
     # dtype, options) so repeat batches of the same table shape skip the
     # ~0.6 s py4j expression construction (plan_cache module docstring)
     cols = plan_memo("fused", df, schema_json, registry,
-                     (spans_col, uri, with_violations, message_style), build)
+                     (spans_col, uri, with_violations, message_style,
+                      assert_formats), build)
     keep = keep_cols if keep_cols is not None else list(df.columns)
     return df.select(*keep, *[v.alias(k) for k, v in cols.items()])

@@ -181,3 +181,45 @@ def test_plan_cache_keys_on_assert_formats(spark):
         df, "j", schema, assert_formats=True).collect()[0]["valid"]
     off = validate_json_column_variant(df, "j", schema).collect()[0]["valid"]
     assert on is False and off is True
+
+
+def test_spans_chain_does_not_drop_format_assertion(spark):
+    """validate_spans_best with assert_formats=True: the fused strategy
+    cannot express format, so it must REFUSE (FusedUnsupported) and the
+    chain lands on the exploded/columnar strategy with the assertion
+    intact — never a silently-annotation fused plan."""
+    from json_schema_lean_spark.operators.validation import validate_spans_best
+    from json_schema_lean_spark.plans.fused import (
+        FusedUnsupported,
+        validate_documents_fused,
+    )
+
+    ddl = ("doc_id string, spans array<struct<kind:string,text:string,"
+           "media_ref:string,offset:int>>")
+    schema = {
+        "type": "object",
+        "properties": {
+            "spans": {"type": "array", "items": {
+                "type": "object",
+                "properties": {"media_ref": {"format": "uri"}}}},
+        },
+    }
+    rows = [("ok", [("image", "t", "asset://a/1", 0)]),
+            ("bad", [("image", "t", "not a uri", 0)])]
+    df = spark.createDataFrame(rows, ddl)
+
+    # fused refuses with the assertion on...
+    with pytest.raises(FusedUnsupported):
+        validate_documents_fused(df, schema, assert_formats=True)
+    # ...but still fuses with it off (format is annotation)
+    out = {r["doc_id"]: r["valid"]
+           for r in validate_documents_fused(df, schema).collect()}
+    assert out == {"ok": True, "bad": True}
+
+    # the chain asserts through the exploded strategy
+    out = {r["doc_id"]: r["valid"] for r in validate_spans_best(
+        df, schema, assert_formats=True).collect()}
+    assert out == {"ok": True, "bad": False}
+    bad = [r for r in validate_spans_best(
+        df, schema, assert_formats=True).collect() if r["doc_id"] == "bad"][0]
+    assert [v["keyword"] for v in bad["violations"]] == ["format"]
