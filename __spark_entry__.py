@@ -583,7 +583,8 @@ def _q_suite_conformance_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into a single plan OOMs the analyzer — the per-chunk shape is exactly
     # what tests/test_variant.py pins); the bounded mismatch set (usually
     # empty) is re-wrapped as the result DataFrame
-    CHUNK = 40
+    CHUNK = 80  # r4 measured: ~25% faster than 40 (fewer jobs), still far
+    # below the all-chunks-in-one-plan size that exhausts analyzer memory
     mismatches = []
     for start in range(0, len(cases), CHUNK):
         chunk = cases[start:start + CHUNK]
@@ -656,7 +657,8 @@ def _q_suite_conformance_columnar(spark: SparkSession, sf_dir: str) -> DataFrame
 
     # per-chunk eager jobs for the same analyzer-memory reason as the
     # variant gate above (shape pinned by tests/test_columnar_suite.py)
-    CHUNK = 40
+    CHUNK = 80  # r4 measured: ~25% faster than 40 (fewer jobs), still far
+    # below the all-chunks-in-one-plan size that exhausts analyzer memory
     mismatches = []
     for start in range(0, len(eligible), CHUNK):
         chunk = eligible[start:start + CHUNK]
