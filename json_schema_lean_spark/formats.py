@@ -77,7 +77,12 @@ FORMAT_REGEX: dict[str, str] = {
               rf"{_LABEL}(\.{_LABEL})*$"),
     "hostname": rf"^(?=.{{1,253}}$){_LABEL}(\.{_LABEL})*$",
     "uri": r"^[A-Za-z][A-Za-z0-9+.\-]*:[^ \t\\]*$",
+    # a URI reference may be relative — almost any string qualifies; the
+    # practical rejections are whitespace, backslashes and angle brackets
+    "uri-reference": r"^[^ \t\\<>]*$",
     "json-pointer": r"^(/([^/~]|~[01])*)*$",
+    # RFC: non-negative integer (no leading zeros) then '#' or a pointer
+    "relative-json-pointer": r"^(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)$",
 }
 
 #: formats whose regex shape needs an extra calendar check on chars 1-10

@@ -42,7 +42,7 @@ def load_format_cases():
 
 def test_corpus_loaded():
     cases = load_format_cases()
-    assert len(cases) == 10
+    assert len(cases) == 12
     assert sum(len(t) for _, _, t in cases) >= 60
 
 
