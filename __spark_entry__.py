@@ -1264,7 +1264,7 @@ def oracle_sql() -> dict[str, str]:
                      + pow(cnt_b - (cnt_a + cnt_b) * nb * 1.0 / (na + nb), 2)
                        / ((cnt_a + cnt_b) * nb * 1.0 / (na + nb))), 6)
                      AS chi2_stat,
-                   (count(*) - 1)::BIGINT AS dof
+                   greatest(count(*) - 1, 1)::BIGINT AS dof
             FROM cum
         """,
         "winnow_fingerprints": """

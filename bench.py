@@ -235,13 +235,17 @@ def main() -> None:
             return dispersed or best_ext > ext_cores_cap
 
         extra = 0
+        confirmed_clean = False
         while best_contended() and extra < max_extra:
             one()
             extra += 1
             # a fresh quiet run near the current best confirms the best
-            # run is clean — stop early
+            # run is clean — stop early AND clear the flag (the stale
+            # contended run stays in the history, so best_contended()
+            # alone would keep reporting pressure that was just refuted)
             if (runs[-1] <= 1.3 * min(runs)
                     and ext_cores[-1] <= ext_cores_cap):
+                confirmed_clean = True
                 break
 
         timings[name] = round(min(runs), 3)
@@ -253,7 +257,7 @@ def main() -> None:
         extras[f"{name}_external_cores"] = ext_cores
         if extra:
             extras[f"{name}_contention_reruns"] = extra
-        if best_contended():
+        if best_contended() and not confirmed_clean:
             flagged.append(name)
 
     # spans table is the north_rule input: generate once, persist to parquet

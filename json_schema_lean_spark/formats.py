@@ -22,8 +22,10 @@ instances always pass, and UNKNOWN format names always pass.
 ``format: "regex"`` (ECMA-262 validity) is interpreter-only: no native
 Spark expression can test regex compilability, so
 :func:`format_predicate` returns None for it and the columnar/variant
-compilers raise CompileFallback when asked to assert it — the strategy
-chain then routes those schemas to the Arrow interpreter.
+compilers raise CompileFallback when asked to assert it. The
+validate_json_column chain then routes those schemas to its Arrow
+interpreter stage; the all-columnar spans chain (validate_spans_best)
+has no interpreter stage and raises a CompileFallback naming the route.
 
 Notes on the chosen (documented) operating points:
 - ``time``/``date-time`` accept a leap second (``:60``) at any minute —
@@ -67,22 +69,26 @@ _TIME = (r"([01][0-9]|2[0-3]):[0-5][0-9]:([0-5][0-9]|60)"
 _LABEL = r"[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
 
 #: format name -> anchored, dialect-portable regex (shape check)
+#: anchored \A...\Z (absolute end — a ^...$ anchor would accept a
+#: trailing newline in BOTH dialects, re.search's $-before-final-\n and
+#: Java rlike's identical rule, so the cross-path parity tests could
+#: never catch it; the transpiler maps Python \Z to Java \z exactly)
 FORMAT_REGEX: dict[str, str] = {
-    "date": f"^{_DATE}$",
-    "time": f"^{_TIME}$",
-    "date-time": f"^{_DATE}[Tt]{_TIME}$",
-    "ipv4": f"^{_IPV4}$",
-    "ipv6": f"^{_IPV6}$",
-    "email": (r"^[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@"
-              rf"{_LABEL}(\.{_LABEL})*$"),
-    "hostname": rf"^(?=.{{1,253}}$){_LABEL}(\.{_LABEL})*$",
-    "uri": r"^[A-Za-z][A-Za-z0-9+.\-]*:[^ \t\\]*$",
+    "date": rf"\A{_DATE}\Z",
+    "time": rf"\A{_TIME}\Z",
+    "date-time": rf"\A{_DATE}[Tt]{_TIME}\Z",
+    "ipv4": rf"\A{_IPV4}\Z",
+    "ipv6": rf"\A{_IPV6}\Z",
+    "email": (r"\A[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@"
+              rf"{_LABEL}(\.{_LABEL})*\Z"),
+    "hostname": rf"\A(?=.{{1,253}}\Z){_LABEL}(\.{_LABEL})*\Z",
+    "uri": "\\A[A-Za-z][A-Za-z0-9+.\\-]*:[^ \\t\\n\\r\\\\]*\\Z",
     # a URI reference may be relative — almost any string qualifies; the
     # practical rejections are whitespace, backslashes and angle brackets
-    "uri-reference": r"^[^ \t\\<>]*$",
-    "json-pointer": r"^(/([^/~]|~[01])*)*$",
+    "uri-reference": "\\A[^ \\t\\n\\r\\\\<>]*\\Z",
+    "json-pointer": r"\A(/([^/~]|~[01])*)*\Z",
     # RFC: non-negative integer (no leading zeros) then '#' or a pointer
-    "relative-json-pointer": r"^(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)$",
+    "relative-json-pointer": r"\A(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)\Z",
 }
 
 #: formats whose regex shape needs an extra calendar check on chars 1-10

@@ -275,9 +275,10 @@ class CompiledValidator:
                 # no reference message shape exists for format (the
                 # reference never implemented it) — emit directly instead
                 # of routing through err()'s reference_message styling
+                # same shape as the columnar/variant paths; never embed the
+                # value (a multi-MB string would bloat the violation row)
                 out.append(Violation(
-                    "format", ptr,
-                    f"{value!r} is not a valid {s.format!r}"))
+                    "format", ptr, f"not a valid {s.format!r}"))
                 if not collect_all:
                     return
         if is_number(value):

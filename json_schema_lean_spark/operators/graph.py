@@ -66,12 +66,17 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         # neighbor propagation: every node offers its label to neighbors
         msgs = (sym.join(labels, sym["a"] == labels["node"])
                    .select(F.col("b").alias("node"), F.col("comp")))
+        # localCheckpoint here as well as after the jump: the hot-label
+        # count job and BOTH jump-join branches read these rows — without
+        # the materialization each of them would re-execute the full
+        # neighbor-propagation join + aggregation as a separate job
         labels = (labels.select("node", "comp").union(msgs)
-                        .groupBy("node").agg(F.min("comp").alias("comp")))
+                        .groupBy("node").agg(F.min("comp").alias("comp"))
+                        .localCheckpoint())
         # giant-component guard: find labels hot enough to skew the jump
-        # join (one extra count job per round, same order of cost as the
-        # convergence checksum; partial aggregation makes the count itself
-        # immune to the very skew it measures)
+        # join (one extra count job per round over the materialized rows;
+        # partial aggregation makes the count itself immune to the very
+        # skew it measures)
         hot = [r["comp"] for r in
                labels.groupBy("comp").agg(F.count(F.lit(1)).alias("n"))
                      .where(F.col("n") >= hot_label_threshold)

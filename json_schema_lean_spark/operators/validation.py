@@ -537,9 +537,19 @@ def validate_spans_best(df: DataFrame, schema_json: Any,
                                            message_style=message_style,
                                            assert_formats=assert_formats)
     except CompileFallback:
-        out = validate_dataframe(df, schema_json, registry=registry, uri=uri,
-                                 message_style=message_style,
-                                 assert_formats=assert_formats)
+        try:
+            out = validate_dataframe(df, schema_json, registry=registry,
+                                     uri=uri, message_style=message_style,
+                                     assert_formats=assert_formats)
+        except CompileFallback as e:
+            # no columnar strategy can express this schema (e.g. a
+            # format:'regex' assertion). The spans chain has no Arrow
+            # interpreter stage — fail with the route instead of leaking
+            # a bare CompileFallback from the last resort.
+            raise CompileFallback(
+                f"{e}; no spans strategy can lower this schema — validate "
+                "via validate_json_column(F.to_json(...)) (Arrow "
+                "interpreter) or drop assert_formats") from e
         keep = keep_cols if keep_cols is not None else list(df.columns)
         return out.select(*keep, "valid", "violations")
 

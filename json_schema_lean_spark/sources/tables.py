@@ -73,6 +73,11 @@ def read_table(spark: SparkSession, path: str, format: str = "parquet",
     if format not in FORMATS:
         raise ValueError(f"unsupported format {format!r}; one of {FORMATS}")
     if format == "iceberg":
+        if schema is not None:
+            raise ValueError(
+                "format='iceberg' carries its own schema (DataSource V2 "
+                "rejects a user-specified one at runtime); drop the schema "
+                "argument and .select() the projection instead")
         require_iceberg(spark)
         return spark.read.format("iceberg").options(**options).load(path)
     reader = spark.read

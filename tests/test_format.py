@@ -223,3 +223,21 @@ def test_spans_chain_does_not_drop_format_assertion(spark):
     bad = [r for r in validate_spans_best(
         df, schema, assert_formats=True).collect() if r["doc_id"] == "bad"][0]
     assert [v["keyword"] for v in bad["violations"]] == ["format"]
+
+
+def test_regex_format_in_spans_chain_raises_actionably(spark):
+    """format:'regex' cannot lower on ANY columnar strategy; the spans
+    chain must surface one actionable CompileFallback naming the
+    interpreter route, not a bare internal fallback (r4 review)."""
+    from json_schema_lean_spark.operators.validation import validate_spans_best
+
+    ddl = ("doc_id string, spans array<struct<kind:string,text:string,"
+           "media_ref:string,offset:int>>")
+    schema = {"type": "object", "properties": {
+        "doc_id": {"format": "regex"},
+        "spans": {"type": "array"}}}
+    df = spark.createDataFrame([("d(", [("text", "t", None, 0)])], ddl)
+    # annotation default: fine
+    assert validate_spans_best(df, schema).collect()[0]["valid"] is True
+    with pytest.raises(CompileFallback, match="validate_json_column"):
+        validate_spans_best(df, schema, assert_formats=True)
