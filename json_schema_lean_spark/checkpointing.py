@@ -157,6 +157,13 @@ class CheckpointedValidation:
                 keep_cols=keep)
             part_path = f"{self.out_dir}/parts/{unit_id}"
             if self.range_partitions > 0:
+                # NB: repartitionByRange samples its child to pick
+                # boundaries, so the unit validates twice — measured
+                # CHEAPER than materializing the wide verdict rows first
+                # (localCheckpoint before the shuffle was 258s vs 189s at
+                # 12.1M docs; fused validation is fast, the wide-row
+                # sort+shuffle dominates and is the inherent price of
+                # doc_id-clustered sorted output)
                 out = (out.repartitionByRange(self.range_partitions,
                                               self.range_col)
                           .sortWithinPartitions(self.range_col))
