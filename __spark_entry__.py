@@ -15,6 +15,7 @@ both sides.
 from __future__ import annotations
 
 from collections.abc import Callable
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -270,6 +271,19 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_candidate_pairs(d, "text", "doc_id", k=32, bands=16,
                                     ngram=3, portable=True)
     return ngram_jaccard(pairs, d, "text", "doc_id", ngram=3)
+
+
+def _q_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The degenerate-bucket guard as an ORACLE-CHECKED operator: the same
+    portable MinHash pipeline with max_bucket_size=2 — small enough that
+    the sf0.01 corpus genuinely truncates buckets (15 buckets of 3 docs) —
+    whose deterministic per-bucket prefix (cap_bucket_rows, ordered by
+    doc_id) is reproduced in DuckDB with a row_number() window. Proves the
+    cap is engine-exact semantics, not a Spark-side heuristic."""
+    from json_schema_lean_spark.operators.dedup import minhash_candidate_pairs
+    d = _docs(spark, sf_dir)
+    return minhash_candidate_pairs(d, "text", "doc_id", k=32, bands=16,
+                                   ngram=3, portable=True, max_bucket_size=2)
 
 
 def _q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess_counts": _q_lang_guess_counts,
         "nchars_histogram": _q_nchars_histogram,
         "minhash_pairs": _q_minhash_pairs,      # portable md5 hash: full oracle
+        "minhash_pairs_capped": _q_minhash_pairs_capped,  # bucket-cap: full oracle
         "near_dup_components": _q_near_dup_components,  # CC over pairs: full oracle
         "simhash_groups": _q_simhash_groups,    # portable md5 hash: full oracle
         "simhash_near_pairs": _q_simhash_near_pairs,  # banded hamming: full oracle
@@ -761,17 +776,22 @@ def _lsh_near_dup_oracle() -> str:
                                    bands=12, planes_per_band=4)
 
 
-def _minhash_cte(k: int = 32, bands: int = 16) -> str:
+def _minhash_cte(k: int = 32, bands: int = 16,
+                 cap: Optional[int] = None) -> str:
     """Shared DuckDB CTE prefix reproducing the portable-hash MinHash-LSH
     candidate pipeline (same md5-based hashes, same banding) up to the
     ``pairs``/``dg`` relations; composed by the pairs and components
-    oracles."""
+    oracles. ``cap`` reproduces dedup.cap_bucket_rows' deterministic
+    per-bucket prefix (row_number over (band, bucket) ordered by doc_id)."""
     h = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
     mins = ",\n               ".join(
         "list_min(list_transform(g, x -> "
         + h.format(x=f"x || '#{i}'") + "))"
         for i in range(k))
     rpb = k // bands
+    cap_clause = ("" if cap is None else
+                  f"QUALIFY row_number() OVER (PARTITION BY bb.band, bucket "
+                  f"ORDER BY s.doc_id) <= {cap}")
     return f"""toks AS (
           SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
           FROM documents),
@@ -789,7 +809,8 @@ def _minhash_cte(k: int = 32, bands: int = 16) -> str:
         banded AS (
           SELECT s.doc_id, bb.band,
                  {h.format(x=f"array_to_string(sig[bb.band*{rpb}+1 : bb.band*{rpb}+{rpb}], ',')")} AS bucket
-          FROM sigs s, (SELECT unnest(range(0, {bands})) AS band) bb),
+          FROM sigs s, (SELECT unnest(range(0, {bands})) AS band) bb
+          {cap_clause}),
         pairs AS (
           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
           FROM banded l JOIN banded r
@@ -934,6 +955,10 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_MEDIA_GOLDEN_DIR}/frame_samples.parquet')
         """,
         "minhash_pairs": _minhash_oracle_sql(32, 16),
+        "minhash_pairs_capped": f"""
+            WITH {_minhash_cte(32, 16, cap=2)}
+            SELECT id_a, id_b FROM pairs
+        """,
         "near_dup_components": _near_dup_components_oracle_sql(32, 16),
         "simhash_groups": _simhash_oracle_sql(2),
         "simhash_near_pairs": _simhash_near_pairs_oracle_sql(8, 12, 2),
