@@ -118,11 +118,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
 
 def dedup_keep_min(edges: DataFrame, all_ids: DataFrame, id_col: str,
-                   src: str = "id_a", dst: str = "id_b") -> DataFrame:
+                   src: str = "id_a", dst: str = "id_b",
+                   **cc_kwargs) -> DataFrame:
     """Retention policy over near-dup components: every id from ``all_ids``
     with its component representative (min id; identity for singletons) and
-    a ``keep`` flag. The survivor set is ``where(keep)``."""
-    comp = connected_components(edges, src=src, dst=dst).select(
+    a ``keep`` flag. The survivor set is ``where(keep)``. Extra keyword
+    arguments (max_iters, hot_label_threshold, hot_label_topk) forward to
+    :func:`connected_components`."""
+    comp = connected_components(edges, src=src, dst=dst, **cc_kwargs).select(
         F.col("node").alias("_jsl_node"),
         F.col("component").alias("_jsl_component"))
     ids = all_ids.select(F.col(id_col).alias("_jsl_id"))

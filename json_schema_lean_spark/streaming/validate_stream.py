@@ -20,11 +20,15 @@ from ..operators.validation import validate_dataframe
 
 def validated_stream(stream_df: DataFrame, schema_json: Any,
                      doc_col: Optional[str] = None,
-                     registry: Optional[dict[str, Any]] = None) -> DataFrame:
+                     registry: Optional[dict[str, Any]] = None,
+                     assert_formats: bool = False) -> DataFrame:
     """Attach valid/violations columns to a streaming DataFrame. Stateless
-    projection: works with any output mode, no watermark required."""
+    projection: works with any output mode, no watermark required.
+    ``assert_formats`` opts into format assertion (stateless rlike +
+    calendar predicates — streaming-safe like every other keyword)."""
     return validate_dataframe(stream_df, schema_json, doc_col=doc_col,
-                              registry=registry)
+                              registry=registry,
+                              assert_formats=assert_formats)
 
 
 def validation_window_metrics(stream_df: DataFrame, schema_json: Any,
