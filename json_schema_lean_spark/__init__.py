@@ -15,6 +15,9 @@ Architecture (Spark-first, NOT a port):
 - ``compiler``      — schema AST → native Spark Column predicate plan for
                       statically-typed (shredded) document tables; the 100 TB
                       scale path (whole-stage codegen, no Python in the loop).
+- ``formats``       — draft-7 ``format`` as an opt-in assertion (annotation
+                      by default; one portable regex per format, evaluated by
+                      Python ``re`` and Java ``rlike`` via regex_dialect).
 - ``operators``     — validation runner, column stats, uniqueness, referential
                       integrity, distribution drift, dedup, similarity, text
                       analysis, multimodal plumbing.

@@ -241,3 +241,15 @@ def test_regex_format_in_spans_chain_raises_actionably(spark):
     assert validate_spans_best(df, schema).collect()[0]["valid"] is True
     with pytest.raises(CompileFallback, match="validate_json_column"):
         validate_spans_best(df, schema, assert_formats=True)
+
+
+def test_format_predicate_stays_jvm_side(spark):
+    """Asserted formats must not drag the plan into Python: the predicate
+    is rlike (+ try_to_date) — JVM expressions inside the projection."""
+    from json_schema_lean_spark.operators.validation import validate_dataframe
+    df = spark.createDataFrame([("127.0.0.1",)], "s string")
+    out = validate_dataframe(df, {"format": "date-time"}, doc_col="s",
+                             assert_formats=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
+    assert "pythonUDF" not in plan, plan
