@@ -67,27 +67,79 @@ def minhash_signature(shingles: Column, k: int = 32,
 
 
 def cap_bucket_rows(banded: DataFrame, bucket_cols: list[str], id_col: str,
-                    max_bucket_size: int, observation=None) -> DataFrame:
+                    max_bucket_size: int, observation=None,
+                    method: str = "exact") -> DataFrame:
     """Bound the per-bucket row count of an LSH banding before a self-join.
 
     Pair output of a bucket self-join is quadratic in bucket size: a
     boilerplate-heavy corpus (millions of templated or near-empty docs
     sharing a band key) makes one degenerate bucket emit ~n²/2 candidates
     before any verify stage — output CARDINALITY, which AQE skew handling
-    cannot fix. The guard keeps a deterministic prefix of each bucket
-    (ordered by ``id_col``, so an engine-portable oracle can reproduce it)
-    and drops the rest.
+    cannot fix.
+
+    ``method`` picks the truncation strategy:
+
+    - ``"exact"`` (default): keep the smallest-``id_col`` prefix of each
+      bucket via ``row_number`` — fully deterministic and engine-portable
+      (a SQL oracle reproduces it with the same window; pinned by the
+      minhash_pairs_capped driver query). Cost note: the window sorts each
+      bucket inside ONE task, so one pathological 100M-row bucket becomes a
+      single disk-spilling straggler (it completes — sort-based windows
+      spill — but slowly).
+    - ``"sampled"``: keep rows whose ``xxhash64(id) % ceil(n/cap) == 0`` —
+      still deterministic (pure function of the id), but needs NO
+      per-bucket ordering: bucket sizes come from a map-side-combined
+      groupBy whose oversized keys (few by construction — each stands for
+      > cap rows) broadcast back, so no window concentrates a giant bucket
+      into one task. The scale-robust choice for adversarial corpora;
+      survivor count is ~cap in expectation rather than exactly cap.
 
     NO SILENT CAPS: pass a ``pyspark.sql.Observation`` to receive, on the
     first action, ``dropped_candidate_pairs`` (sum over oversized buckets of
-    C(n,2) − C(cap,2), per banding — a pair sharing several oversized bands
-    counts once per band), ``oversized_buckets`` and ``max_bucket_rows``.
-    Run exact dedup first: identical docs share every band, so their
-    buckets are the ones a cap truncates — collapse them to one
-    representative instead of paying (then losing) their pairs here."""
+    C(n,2) − C(kept,2) per banding — a pair sharing several oversized bands
+    counts once per band; estimated from survivor shares under "sampled"),
+    ``oversized_buckets`` and ``max_bucket_rows``. Run exact dedup first:
+    identical docs share every band, so their buckets are the ones a cap
+    truncates — collapse them to one representative instead of paying
+    (then losing) their pairs here."""
     if max_bucket_size < 2:
         raise ValueError("max_bucket_size must be >= 2 "
                          "(a 1-row bucket emits no pairs)")
+
+    if method == "sampled":
+        sizes = (banded.groupBy(*bucket_cols)
+                       .agg(F.count(F.lit(1)).alias("_bsz"))
+                       .where(F.col("_bsz") > max_bucket_size))
+        out = (banded.join(F.broadcast(sizes), bucket_cols, "left")
+                     .withColumn("_mod", F.ceil(F.col("_bsz")
+                                                / max_bucket_size))
+                     .where(F.col("_bsz").isNull()
+                            | (F.pmod(F.xxhash64(F.col(id_col)),
+                                      F.col("_mod")) == 0)))
+        if observation is not None:
+            n = F.col("_bsz").cast("double")
+            kept = n / F.col("_mod").cast("double")  # expected survivors
+            over = F.col("_bsz").isNotNull()
+            # each SURVIVING oversized row carries its bucket share of the
+            # per-bucket drop (estimate: survivors ~ kept)
+            share = ((n * (n - 1)) - kept * (kept - 1)) / 2 / kept
+            out = out.observe(
+                observation,
+                F.coalesce(F.sum(F.when(over, share).otherwise(0.0)),
+                           F.lit(0.0)).cast("bigint")
+                 .alias("dropped_candidate_pairs"),
+                # DISTINCT aggregates are banned in observed metrics;
+                # HLL approx is fine (exact under ~thousands of buckets)
+                F.coalesce(F.approx_count_distinct(F.when(
+                    over, F.concat_ws("\u0000", *[
+                        F.col(c).cast("string") for c in bucket_cols]))),
+                    F.lit(0)).cast("bigint").alias("oversized_buckets"),
+                F.coalesce(F.max("_bsz"), F.lit(0)).cast("bigint")
+                 .alias("max_bucket_rows"))
+        return out.drop("_bsz", "_mod")
+
+    if method != "exact":
+        raise ValueError(f"unknown cap method {method!r}")
     wp = Window.partitionBy(*bucket_cols)
     out = (banded
            .withColumn("_bn", F.row_number().over(wp.orderBy(id_col)))
@@ -113,7 +165,8 @@ def cap_bucket_rows(banded: DataFrame, bucket_cols: list[str], id_col: str,
 def _banded_candidate_pairs(base: DataFrame, band_struct_fn, bands: int,
                             carry: list[str],
                             max_bucket_size: int | None = None,
-                            observation=None) -> DataFrame:
+                            observation=None,
+                            cap_method: str = "exact") -> DataFrame:
     """Banded LSH self-join scaffold shared by the MinHash and SimHash
     pipelines: explode per-band (band, key) structs, equi-join on them with
     id_a < id_b, distinct. ``base`` must carry ``_id``; ``carry`` names
@@ -128,7 +181,8 @@ def _banded_candidate_pairs(base: DataFrame, band_struct_fn, bands: int,
                   .select("_id", *carry, "bb.band", "bb.key"))
     if max_bucket_size is not None:
         banded = cap_bucket_rows(banded, ["band", "key"], "_id",
-                                 max_bucket_size, observation)
+                                 max_bucket_size, observation,
+                                 method=cap_method)
     left, right = banded.alias("l"), banded.alias("r")
     sel = [F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")]
     for c in carry:
@@ -144,7 +198,8 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
                             k: int = 32, bands: int = 8,
                             ngram: int = 3, portable: bool = False,
                             max_bucket_size: int | None = None,
-                            observation=None) -> DataFrame:
+                            observation=None,
+                            cap_method: str = "exact") -> DataFrame:
     """LSH candidate pairs: same (band_idx, band-slice of signature) bucket.
 
     Scale shape: the self-join keys on (band, slice-hash) — buckets are tiny
@@ -168,7 +223,7 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
         with_sig,
         lambda b: F.struct(F.lit(b).alias("band"), bucket_of(b).alias("key")),
         bands, carry=[], max_bucket_size=max_bucket_size,
-        observation=observation)
+        observation=observation, cap_method=cap_method)
 
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str,
@@ -231,7 +286,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                        max_hamming: int = 3, bands: int = 4,
                        ngram: int = 2, portable: bool = False,
                        max_bucket_size: int | None = None,
-                       observation=None) -> DataFrame:
+                       observation=None,
+                       cap_method: str = "exact") -> DataFrame:
     """Near-dup pairs within a Hamming radius of each other's SimHash —
     the distance-tolerant form of :func:`simhash_dup_groups` (which needs
     IDENTICAL fingerprints). Banded by pigeonhole: with ``bands >
@@ -259,7 +315,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                            F.shiftright(F.col("_sig"), w * i)
                             .bitwiseAND(F.lit((1 << w) - 1)).alias("key")),
         bands, carry=["_sig"], max_bucket_size=max_bucket_size,
-        observation=observation)
+        observation=observation, cap_method=cap_method)
     ham = F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))).cast("int")
     return (pairs.select("id_a", "id_b", ham.alias("hamming"))
                  .where(F.col("hamming") <= max_hamming))

@@ -117,3 +117,50 @@ class TestCapBucketRowsUnit:
         out = cap_bucket_rows(df, ["band", "key"], "_id", 3)
         kept = sorted(r["_id"] for r in out.collect())
         assert kept == ["id00", "id01", "id02", "solo"]
+
+
+class TestSampledCapMode:
+    """method='sampled': skew-free truncation — no per-bucket window sort,
+    survivors chosen by xxhash64(id) % ceil(n/cap) (deterministic)."""
+
+    def test_bounded_and_deterministic(self, spark):
+        n, cap, bands = 10_000, 16, 8
+        df = spark.createDataFrame(_templated(n), "doc_id string, text string")
+        obs = Observation("sampled_cap")
+        pairs = minhash_candidate_pairs(df, "text", "doc_id", bands=bands,
+                                        max_bucket_size=cap, observation=obs,
+                                        cap_method="sampled")
+        got1 = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        # survivors per band ~ cap in expectation; pairs ~ C(survivors, 2).
+        # allow generous slack (hash sampling variance) but pin the ORDER:
+        # nowhere near the 50M uncapped pairs
+        assert 0 < len(got1) <= (4 * cap) * (4 * cap - 1) // 2
+        m = obs.get
+        assert m["oversized_buckets"] == bands
+        assert m["max_bucket_rows"] == n
+        assert m["dropped_candidate_pairs"] > 1_000_000  # ~C(10k,2) per band
+        # deterministic: same inputs, same survivors
+        got2 = {(r["id_a"], r["id_b"])
+                for r in minhash_candidate_pairs(
+                    df, "text", "doc_id", bands=bands, max_bucket_size=cap,
+                    cap_method="sampled").collect()}
+        assert got1 == got2
+
+    def test_small_buckets_untouched(self, spark):
+        docs = [("a1", "first unique doc about spark"),
+                ("a2", "second unique doc about lean"),
+                ("a3", "third unique doc about parquet")]
+        df = spark.createDataFrame(docs, "doc_id string, text string")
+        base = {(r["id_a"], r["id_b"])
+                for r in minhash_candidate_pairs(df, "text", "doc_id").collect()}
+        capped = {(r["id_a"], r["id_b"])
+                  for r in minhash_candidate_pairs(
+                      df, "text", "doc_id", max_bucket_size=50,
+                      cap_method="sampled").collect()}
+        assert base == capped  # no bucket exceeds the cap -> identical
+
+    def test_unknown_method_rejected(self, spark):
+        df = spark.createDataFrame(_templated(4), "doc_id string, text string")
+        with pytest.raises(ValueError, match="cap method"):
+            minhash_candidate_pairs(df, "text", "doc_id", max_bucket_size=2,
+                                    cap_method="typo").collect()
