@@ -286,6 +286,23 @@ def _q_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ngram=3, portable=True, max_bucket_size=2)
 
 
+def _q_minhash_pairs_capped_sampled(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The SCALE-ROBUST cap mode as an ORACLE-CHECKED operator (VERDICT r4
+    #3): cap_method="sampled" keeps rows whose portable md5-hash of doc_id
+    is 0 mod ceil(n/cap) — no per-bucket window, so no single-task
+    straggler on a degenerate 100M-row bucket. With portable=True the
+    survivor hash is the same md5 construction in both engines, so DuckDB
+    reproduces the exact survivor set (not just pair counts); at sf0.01
+    with cap=2 the same 15 oversized buckets are truncated, so the
+    truncation path is genuinely exercised at gate scale."""
+    from json_schema_lean_spark.operators.dedup import minhash_candidate_pairs
+    d = _docs(spark, sf_dir)
+    return minhash_candidate_pairs(d, "text", "doc_id", k=32, bands=16,
+                                   ngram=3, portable=True, max_bucket_size=2,
+                                   cap_method="sampled")
+
+
 def _q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_lean_spark.operators.dedup import simhash_dup_groups
     return simhash_dup_groups(_docs(spark, sf_dir), "text", "doc_id",
@@ -419,7 +436,7 @@ def _q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mk_bmp = pandas_udf(_mk_bmp, "binary", PandasUDFType.SCALAR)
     d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-         .where(F.col("doc_id") < 96)
+         .where(F.col("doc_id").cast("bigint") < 96)
          .select(F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_ref"),
                  mk_bmp(F.col("doc_id")).alias("media_bytes")))
     out = image_features(d, decoder="real")
@@ -444,7 +461,7 @@ def _q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mk_wav = pandas_udf(_mk_wav, "binary", PandasUDFType.SCALAR)
     d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-         .where(F.col("doc_id") < 96)
+         .where(F.col("doc_id").cast("bigint") < 96)
          .select(F.concat(F.lit("wav://"), F.col("doc_id").cast("string")).alias("media_ref"),
                  mk_wav(F.col("doc_id")).alias("media_bytes")))
     out = audio_features(d, decoder="real")
@@ -473,7 +490,7 @@ def _q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     mk_y4m = pandas_udf(_mk_y4m, "binary", PandasUDFType.SCALAR)
 
     d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-         .where(F.col("doc_id") < 64)
+         .where(F.col("doc_id").cast("bigint") < 64)
          .select(F.concat(F.lit("vid://"), F.col("doc_id").cast("string")).alias("media_ref"),
                  mk_y4m(F.col("doc_id")).alias("media_bytes")))
     return sample_frames(d, every_n=2, max_frames=3, decoder="real")
@@ -718,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nchars_histogram": _q_nchars_histogram,
         "minhash_pairs": _q_minhash_pairs,      # portable md5 hash: full oracle
         "minhash_pairs_capped": _q_minhash_pairs_capped,  # bucket-cap: full oracle
+        "minhash_pairs_capped_sampled": _q_minhash_pairs_capped_sampled,
         "near_dup_components": _q_near_dup_components,  # CC over pairs: full oracle
         "simhash_groups": _q_simhash_groups,    # portable md5 hash: full oracle
         "simhash_near_pairs": _q_simhash_near_pairs,  # banded hamming: full oracle
@@ -777,21 +795,46 @@ def _lsh_near_dup_oracle() -> str:
 
 
 def _minhash_cte(k: int = 32, bands: int = 16,
-                 cap: Optional[int] = None) -> str:
+                 cap: Optional[int] = None,
+                 cap_method: str = "exact") -> str:
     """Shared DuckDB CTE prefix reproducing the portable-hash MinHash-LSH
     candidate pipeline (same md5-based hashes, same banding) up to the
     ``pairs``/``dg`` relations; composed by the pairs and components
-    oracles. ``cap`` reproduces dedup.cap_bucket_rows' deterministic
-    per-bucket prefix (row_number over (band, bucket) ordered by doc_id)."""
+    oracles. ``cap`` reproduces dedup.cap_bucket_rows: ``cap_method`` picks
+    the deterministic per-bucket prefix (row_number over (band, bucket)
+    ordered by doc_id — "exact") or the hash-modulo survivor set
+    (portable_hash64(doc_id) % ceil(n/cap) == 0 — "sampled", the
+    scale-robust mode actually recommended at 100 TB, here reproduced
+    value-exactly because the survivor hash is the same md5 construction
+    DuckDB can compute)."""
     h = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
     mins = ",\n               ".join(
         "list_min(list_transform(g, x -> "
         + h.format(x=f"x || '#{i}'") + "))"
         for i in range(k))
     rpb = k // bands
-    cap_clause = ("" if cap is None else
-                  f"QUALIFY row_number() OVER (PARTITION BY bb.band, bucket "
-                  f"ORDER BY s.doc_id) <= {cap}")
+    cap_clause = ""
+    sampled_ctes = ""
+    banded_name = "banded"
+    if cap is not None and cap_method == "exact":
+        cap_clause = (f"QUALIFY row_number() OVER (PARTITION BY bb.band, "
+                      f"bucket ORDER BY s.doc_id) <= {cap}")
+    elif cap is not None and cap_method == "sampled":
+        banded_name = "banded_all"
+        surv = h.format(x="CAST(ba.doc_id AS VARCHAR)")
+        sampled_ctes = f""",
+        bsz AS (
+          SELECT band, bucket, count(*) AS n
+          FROM banded_all GROUP BY band, bucket
+          HAVING count(*) > {cap}),
+        banded AS (
+          SELECT ba.doc_id, ba.band, ba.bucket
+          FROM banded_all ba
+          LEFT JOIN bsz ON ba.band = bsz.band AND ba.bucket = bsz.bucket
+          WHERE bsz.n IS NULL
+             OR ({surv} % CAST(ceil(bsz.n / {cap}.0) AS BIGINT)) = 0)"""
+    elif cap is not None:
+        raise ValueError(f"unknown cap_method {cap_method!r}")
     return f"""toks AS (
           SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
           FROM documents),
@@ -806,11 +849,11 @@ def _minhash_cte(k: int = 32, bands: int = 16,
           SELECT doc_id,
                [{mins}] AS sig
           FROM grams),
-        banded AS (
+        {banded_name} AS (
           SELECT s.doc_id, bb.band,
                  {h.format(x=f"array_to_string(sig[bb.band*{rpb}+1 : bb.band*{rpb}+{rpb}], ',')")} AS bucket
           FROM sigs s, (SELECT unnest(range(0, {bands})) AS band) bb
-          {cap_clause}),
+          {cap_clause}){sampled_ctes},
         pairs AS (
           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
           FROM banded l JOIN banded r
@@ -957,6 +1000,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_oracle_sql(32, 16),
         "minhash_pairs_capped": f"""
             WITH {_minhash_cte(32, 16, cap=2)}
+            SELECT id_a, id_b FROM pairs
+        """,
+        "minhash_pairs_capped_sampled": f"""
+            WITH {_minhash_cte(32, 16, cap=2, cap_method="sampled")}
             SELECT id_a, id_b FROM pairs
         """,
         "near_dup_components": _near_dup_components_oracle_sql(32, 16),

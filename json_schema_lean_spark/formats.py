@@ -49,19 +49,24 @@ from pyspark.sql import functions as F
 _OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 _IPV4 = rf"{_OCTET}\.{_OCTET}\.{_OCTET}\.{_OCTET}"
 _H16 = r"[0-9A-Fa-f]{1,4}"
-# standard RFC 4291 shapes incl. :: compression and embedded IPv4
+# the exact RFC 3986 `IPv6address` grammar (equivalent to RFC 4291 §2.2
+# text forms): nine alternatives over ls32 = (h16 ":" h16) / IPv4address.
+# Embedded IPv4 is therefore legal BOTH uncompressed ("1:2:3:4:5:6:1.2.3.4")
+# and after any "::" compression ("::ffff:1.2.3.4") — the previous ad-hoc
+# list missed the uncompressed and most compressed-with-IPv4 shapes
+# (ADVICE r4). Pure alternation + bounded repetition: transpiles 1:1 to
+# the Java dialect.
+_LS32 = rf"({_H16}:{_H16}|{_IPV4})"
 _IPV6 = (
-    rf"(({_H16}:){{7}}{_H16}"
-    rf"|({_H16}:){{1,7}}:"
-    rf"|({_H16}:){{1,6}}:{_H16}"
-    rf"|({_H16}:){{1,5}}(:{_H16}){{1,2}}"
-    rf"|({_H16}:){{1,4}}(:{_H16}){{1,3}}"
-    rf"|({_H16}:){{1,3}}(:{_H16}){{1,4}}"
-    rf"|({_H16}:){{1,2}}(:{_H16}){{1,5}}"
-    rf"|{_H16}:(:{_H16}){{1,6}}"
-    rf"|:((:{_H16}){{1,7}}|:)"
-    rf"|({_H16}:){{1,4}}:{_IPV4}"
-    rf"|::([Ff][Ff][Ff][Ff](:0{{1,4}})?:)?{_IPV4})"
+    rf"(({_H16}:){{6}}{_LS32}"
+    rf"|::({_H16}:){{5}}{_LS32}"
+    rf"|({_H16})?::({_H16}:){{4}}{_LS32}"
+    rf"|(({_H16}:){{0,1}}{_H16})?::({_H16}:){{3}}{_LS32}"
+    rf"|(({_H16}:){{0,2}}{_H16})?::({_H16}:){{2}}{_LS32}"
+    rf"|(({_H16}:){{0,3}}{_H16})?::{_H16}:{_LS32}"
+    rf"|(({_H16}:){{0,4}}{_H16})?::{_LS32}"
+    rf"|(({_H16}:){{0,5}}{_H16})?::{_H16}"
+    rf"|(({_H16}:){{0,6}}{_H16})?::)"
 )
 _DATE = r"[0-9]{4}-[0-9]{2}-[0-9]{2}"
 _TIME = (r"([01][0-9]|2[0-3]):[0-5][0-9]:([0-5][0-9]|60)"

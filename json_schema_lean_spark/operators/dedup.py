@@ -68,7 +68,8 @@ def minhash_signature(shingles: Column, k: int = 32,
 
 def cap_bucket_rows(banded: DataFrame, bucket_cols: list[str], id_col: str,
                     max_bucket_size: int, observation=None,
-                    method: str = "exact") -> DataFrame:
+                    method: str = "exact",
+                    portable: bool = False) -> DataFrame:
     """Bound the per-bucket row count of an LSH banding before a self-join.
 
     Pair output of a bucket self-join is quadratic in bucket size: a
@@ -86,13 +87,23 @@ def cap_bucket_rows(banded: DataFrame, bucket_cols: list[str], id_col: str,
       bucket inside ONE task, so one pathological 100M-row bucket becomes a
       single disk-spilling straggler (it completes — sort-based windows
       spill — but slowly).
-    - ``"sampled"``: keep rows whose ``xxhash64(id) % ceil(n/cap) == 0`` —
+    - ``"sampled"``: keep rows whose ``hash(id) % ceil(n/cap) == 0`` —
       still deterministic (pure function of the id), but needs NO
       per-bucket ordering: bucket sizes come from a map-side-combined
-      groupBy whose oversized keys (few by construction — each stands for
-      > cap rows) broadcast back, so no window concentrates a giant bucket
-      into one task. The scale-robust choice for adversarial corpora;
+      groupBy of the oversized keys joined back WITHOUT a broadcast hint,
+      so no window concentrates a giant bucket into one task. The
+      oversized-key relation is usually tiny (each key stands for > cap
+      rows) and AQE then converts the join to a broadcast at runtime from
+      its MEASURED size — but its row count is bounded only by
+      n/(cap+1), so an adversarial corpus of many barely-oversized
+      buckets must NOT be forced through driver memory by a hint
+      (ADVICE r4); at worst it stays a shuffled join on the same
+      (band, key) the self-join partitions by. The scale-robust choice;
       survivor count is ~cap in expectation rather than exactly cap.
+      ``portable=True`` swaps xxhash64 for the md5-based
+      :func:`portable_hash64` of the stringified id so a SQL engine can
+      reproduce the exact survivor set (DuckDB-oracled via the
+      minhash_pairs_capped_sampled driver query); xxhash64 otherwise.
 
     NO SILENT CAPS: pass a ``pyspark.sql.Observation`` to receive, on the
     first action, ``dropped_candidate_pairs`` (sum over oversized buckets of
@@ -110,12 +121,15 @@ def cap_bucket_rows(banded: DataFrame, bucket_cols: list[str], id_col: str,
         sizes = (banded.groupBy(*bucket_cols)
                        .agg(F.count(F.lit(1)).alias("_bsz"))
                        .where(F.col("_bsz") > max_bucket_size))
-        out = (banded.join(F.broadcast(sizes), bucket_cols, "left")
+        surv_hash = (portable_hash64(F.col(id_col).cast("string"))
+                     if portable else F.xxhash64(F.col(id_col)))
+        # no broadcast hint: AQE picks broadcast when `sizes` measures
+        # small, shuffled when an adversarial corpus makes it big
+        out = (banded.join(sizes, bucket_cols, "left")
                      .withColumn("_mod", F.ceil(F.col("_bsz")
                                                 / max_bucket_size))
                      .where(F.col("_bsz").isNull()
-                            | (F.pmod(F.xxhash64(F.col(id_col)),
-                                      F.col("_mod")) == 0)))
+                            | (F.pmod(surv_hash, F.col("_mod")) == 0)))
         if observation is not None:
             n = F.col("_bsz").cast("double")
             kept = n / F.col("_mod").cast("double")  # expected survivors
@@ -166,7 +180,8 @@ def _banded_candidate_pairs(base: DataFrame, band_struct_fn, bands: int,
                             carry: list[str],
                             max_bucket_size: int | None = None,
                             observation=None,
-                            cap_method: str = "exact") -> DataFrame:
+                            cap_method: str = "exact",
+                            cap_portable: bool = False) -> DataFrame:
     """Banded LSH self-join scaffold shared by the MinHash and SimHash
     pipelines: explode per-band (band, key) structs, equi-join on them with
     id_a < id_b, distinct. ``base`` must carry ``_id``; ``carry`` names
@@ -182,7 +197,7 @@ def _banded_candidate_pairs(base: DataFrame, band_struct_fn, bands: int,
     if max_bucket_size is not None:
         banded = cap_bucket_rows(banded, ["band", "key"], "_id",
                                  max_bucket_size, observation,
-                                 method=cap_method)
+                                 method=cap_method, portable=cap_portable)
     left, right = banded.alias("l"), banded.alias("r")
     sel = [F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")]
     for c in carry:
@@ -223,7 +238,8 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
         with_sig,
         lambda b: F.struct(F.lit(b).alias("band"), bucket_of(b).alias("key")),
         bands, carry=[], max_bucket_size=max_bucket_size,
-        observation=observation, cap_method=cap_method)
+        observation=observation, cap_method=cap_method,
+        cap_portable=portable)
 
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str,
@@ -315,7 +331,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                            F.shiftright(F.col("_sig"), w * i)
                             .bitwiseAND(F.lit((1 << w) - 1)).alias("key")),
         bands, carry=["_sig"], max_bucket_size=max_bucket_size,
-        observation=observation, cap_method=cap_method)
+        observation=observation, cap_method=cap_method,
+        cap_portable=portable)
     ham = F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))).cast("int")
     return (pairs.select("id_a", "id_b", ham.alias("hamming"))
                  .where(F.col("hamming") <= max_hamming))

@@ -209,11 +209,12 @@ def parse_schema(j: Any) -> Schema:
         obj.pattern = v
 
     # format: parsed as an ANNOTATION (the reference never implemented it —
-    # Format.lean 0 LoC); assertion is an explicit opt-in on each compiler
+    # Format.lean 0 LoC); assertion is an explicit opt-in on each compiler.
+    # A NON-STRING value is treated as absent rather than a parse error:
+    # the reference ignores the key entirely, so {"format": 12} must keep
+    # compiling here for parity on malformed-but-reference-accepted schemas
     v = opt("format")
-    if v is not ABSENT:
-        if not isinstance(v, str):
-            raise SchemaParseError("format must be a string")
+    if v is not ABSENT and isinstance(v, str):
         obj.format = v
 
     # --- recursive fields ---
