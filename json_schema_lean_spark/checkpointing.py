@@ -73,6 +73,10 @@ class RunReport:
     rows: int
     valid: int
     violations: int
+    #: numeric Observation metrics summed over the units processed by THIS
+    #: call (per-unit values live in each manifest entry; resumed runs
+    #: re-aggregate across manifests with summed_observed_metrics())
+    observed: Optional[dict] = None
 
 
 class CheckpointedValidation:
@@ -81,7 +85,8 @@ class CheckpointedValidation:
                  keep_cols: Optional[list[str]] = None,
                  files_per_unit: int = 32, run_id: str = "run-0",
                  range_partitions: int = 0,
-                 range_col: str = "doc_id") -> None:
+                 range_col: str = "doc_id",
+                 unit_fn=None) -> None:
         self.spark = spark
         self.input_path = input_path
         self.schema_json = schema_json
@@ -100,6 +105,15 @@ class CheckpointedValidation:
         # the sampled range boundaries split dense key regions.
         self.range_partitions = range_partitions
         self.range_col = range_col
+        # unit_fn(spark, df) -> (out_df, Observation | None): swaps the
+        # default spans validation for ANY per-unit operator (e.g. capped
+        # LSH dedup) while keeping the manifest/resume machinery. The
+        # Observation must be FRESH per call (Spark binds one action to an
+        # Observation); its metrics — e.g. cap_bucket_rows'
+        # dropped_candidate_pairs — land in the unit's manifest entry as
+        # "observed_metrics", so a resumed multi-unit run aggregates its
+        # no-silent-caps accounting across units (VERDICT r4 #5)
+        self.unit_fn = unit_fn
         self.validator_version = __version__
         self.schema_hash = _schema_hash(schema_json)
         os.makedirs(f"{out_dir}/manifest", exist_ok=True)
@@ -137,6 +151,7 @@ class CheckpointedValidation:
         files = list_input_files(self.input_path)
         units = plan_units(files, self.files_per_unit)
         skipped = processed = rows = valid = viols = 0
+        observed: dict = {}
         for unit_id, chunk in units:
             surrogate = _file_surrogate(chunk)
             if self._completed(unit_id, surrogate):
@@ -146,15 +161,19 @@ class CheckpointedValidation:
                 break
             t0 = time.perf_counter()
             df = self.spark.read.parquet(*chunk)
-            # strategy chain (fused zero-shuffle first; r3 — was pinned to
-            # the explode strategy). keep_cols default stays "first column
-            # only": fused's own default of all columns would carry the
-            # spans arrays into every unit's output
-            keep = (self.keep_cols if self.keep_cols is not None
-                    else [df.columns[0]])
-            out = validate_spans_best(
-                df, self.schema_json, spans_col=self.spans_col,
-                keep_cols=keep)
+            obs = None
+            if self.unit_fn is not None:
+                out, obs = self.unit_fn(self.spark, df)
+            else:
+                # strategy chain (fused zero-shuffle first; r3 — was pinned
+                # to the explode strategy). keep_cols default stays "first
+                # column only": fused's own default of all columns would
+                # carry the spans arrays into every unit's output
+                keep = (self.keep_cols if self.keep_cols is not None
+                        else [df.columns[0]])
+                out = validate_spans_best(
+                    df, self.schema_json, spans_col=self.spans_col,
+                    keep_cols=keep)
             part_path = f"{self.out_dir}/parts/{unit_id}"
             if self.range_partitions > 0:
                 # NB: repartitionByRange samples its child to pick
@@ -167,12 +186,34 @@ class CheckpointedValidation:
                 out = (out.repartitionByRange(self.range_partitions,
                                               self.range_col)
                           .sortWithinPartitions(self.range_col))
-            out.write.mode("overwrite").parquet(part_path)
-            m = (self.spark.read.parquet(part_path)
-                 .agg(F.count(F.lit(1)).alias("rows"),
-                      F.sum(F.col("valid").cast("long")).alias("valid"),
-                      F.sum(F.size("violations").cast("long")).alias("viols"))
-                 .collect()[0])
+            if obs is not None:
+                # without this, a unit whose capped output is EMPTY loses
+                # its Observation to AQE empty-relation pruning — the
+                # all-dropped case is exactly when the accounting matters
+                from .observe import preserve_observed_metrics
+                with preserve_observed_metrics(self.spark):
+                    out.write.mode("overwrite").parquet(part_path)
+            else:
+                out.write.mode("overwrite").parquet(part_path)
+            part = self.spark.read.parquet(part_path)
+            aggs = [F.count(F.lit(1)).alias("rows")]
+            has_verdicts = ("valid" in part.columns
+                            and "violations" in part.columns)
+            if has_verdicts:
+                aggs += [F.sum(F.col("valid").cast("long")).alias("valid"),
+                         F.sum(F.size("violations").cast("long"))
+                          .alias("viols")]
+            m = part.agg(*aggs).collect()[0]
+            observed_metrics = None
+            if obs is not None:
+                # the write above was the observed df's one action; get is
+                # now a local dict (no extra job)
+                from .observe import observed_metrics_or_none
+                got = observed_metrics_or_none(obs)
+                observed_metrics = None if got is None else {
+                    k: (v if isinstance(v, (int, float, bool, str))
+                        else str(v))
+                    for k, v in got.items()}
             self._commit(unit_id, {
                 "run_id": self.run_id,
                 "unit_id": unit_id,
@@ -185,16 +226,26 @@ class CheckpointedValidation:
                 "validator_version": self.validator_version,
                 "schema_hash": self.schema_hash,
                 "rows_scanned": m["rows"],
-                "valid_rows": m["valid"],
-                "violations": m["viols"],
+                "valid_rows": m["valid"] if has_verdicts else None,
+                "violations": m["viols"] if has_verdicts else None,
+                "observed_metrics": observed_metrics,
                 "stage_sec": round(time.perf_counter() - t0, 3),
             })
             processed += 1
             rows += m["rows"]
-            valid += m["valid"]
-            viols += m["viols"]
+            if has_verdicts:
+                valid += m["valid"]
+                viols += m["viols"]
+            if observed_metrics:
+                for k, v in observed_metrics.items():
+                    if isinstance(v, (int, float)) \
+                            and not isinstance(v, bool):
+                        if k.startswith("max_"):
+                            observed[k] = max(observed.get(k, v), v)
+                        else:
+                            observed[k] = observed.get(k, 0) + v
         return RunReport(self.run_id, len(units), skipped, processed,
-                         rows, valid, viols)
+                         rows, valid, viols, observed or None)
 
     def results(self) -> DataFrame:
         """Combined output of the CURRENT unit plan only. Parts directories
@@ -219,3 +270,18 @@ class CheckpointedValidation:
             if name.endswith(".json"):
                 out.append(json.loads(open(os.path.join(mdir, name)).read()))
         return out
+
+    def summed_observed_metrics(self) -> dict:
+        """Numeric Observation metrics summed across ALL committed units —
+        the whole-run no-silent-caps accounting (e.g. total
+        dropped_candidate_pairs), correct across kill/resume because each
+        unit's metrics were committed with its manifest entry."""
+        total: dict = {}
+        for entry in self.manifest():
+            for k, v in (entry.get("observed_metrics") or {}).items():
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    if k.startswith("max_"):  # a max of maxes, not a sum
+                        total[k] = max(total.get(k, v), v)
+                    else:
+                        total[k] = total.get(k, 0) + v
+        return total

@@ -19,10 +19,12 @@ Spark ``try_to_date`` agree on month lengths and leap years for years
 0001-9999; year 0000 is out of scope). Spec behaviors: non-string
 instances always pass, and UNKNOWN format names always pass.
 
-``format: "regex"`` (ECMA-262 validity) is interpreter-only: no native
-Spark expression can test regex compilability, so
-:func:`format_predicate` returns None for it and the columnar/variant
-compilers raise CompileFallback when asked to assert it. The
+``format: "regex"`` (ECMA-262 validity) and the IDNA formats
+(``idn-hostname``/``idn-email`` — punycode + nameprep via the stdlib IDNA
+2003 codec) are interpreter-only: no native Spark expression can test
+regex compilability or run ToASCII, so
+:func:`format_predicate` returns None for them and the columnar/variant
+compilers raise CompileFallback when asked to assert them. The
 validate_json_column chain then routes those schemas to its Arrow
 interpreter stage; the all-columnar spans chain (validate_spans_best)
 has no interpreter stage and raises a CompileFallback naming the route.
@@ -91,6 +93,15 @@ FORMAT_REGEX: dict[str, str] = {
     # a URI reference may be relative — almost any string qualifies; the
     # practical rejections are whitespace, backslashes and angle brackets
     "uri-reference": "\\A[^ \\t\\n\\r\\\\<>]*\\Z",
+    # RFC 3987: an IRI is a URI whose charset widens to ucschar — since the
+    # uri/uri-reference operating points above already admit any non-ASCII
+    # codepoint in the tail (documented pragmatic shape, not an RFC 3986
+    # ABNF transcription), the IRI forms share the same regexes: scheme
+    # required for "iri", everything-but-whitespace/backslash/angle for
+    # "iri-reference". Both are plain char-class regexes -> JVM-portable,
+    # all three engine paths assert them natively.
+    "iri": "\\A[A-Za-z][A-Za-z0-9+.\\-]*:[^ \\t\\n\\r\\\\<>]*\\Z",
+    "iri-reference": "\\A[^ \\t\\n\\r\\\\<>]*\\Z",
     "json-pointer": r"\A(/([^/~]|~[01])*)*\Z",
     # RFC: non-negative integer (no leading zeros) then '#' or a pointer
     "relative-json-pointer": r"\A(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)\Z",
@@ -127,12 +138,66 @@ def _ecma_regex_ok(v: str) -> bool:
         return False
 
 
+_LABEL_RX = re.compile(rf"\A{_LABEL}\Z")
+
+
+def _idn_hostname_ok(v: str) -> bool:
+    """Internationalized hostname via the stdlib IDNA 2003 codec: each
+    label nameprep-normalizes and punycode-encodes (ToASCII, which also
+    enforces the 63-octet label bound), then the ASCII form must satisfy
+    the same LDH label shape as ``hostname`` (STD3: alnum + inner hyphens
+    — rejects leading/trailing '-', '_', spaces) and the whole name the
+    253-octet bound. Operating point: IDNA 2003 (stdlib), not UTS-46/IDNA
+    2008 — contextual-rule rejections (e.g. Hangul tone marks U+302E) are
+    out of scope and documented as such."""
+    if not v:
+        return False
+    import encodings.idna as idna
+    ascii_labels = []
+    for label in v.split("."):
+        if not label:
+            return False
+        try:
+            a = idna.ToASCII(label).decode("ascii")
+        except (UnicodeError, ValueError):
+            return False
+        if _LABEL_RX.search(a) is None:
+            return False
+        ascii_labels.append(a)
+    return len(".".join(ascii_labels)) <= 253
+
+
+_IDN_LOCAL_RX = re.compile(
+    r"\A([A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]|[^\x00-\x7F])+\Z")
+
+
+def _idn_email_ok(v: str) -> bool:
+    """Internationalized email (RFC 6531 shape at the same fidelity as the
+    ``email`` operating point): dot-atom-ish local part whose charset
+    widens to any non-ASCII codepoint, '@', then an ``idn-hostname``
+    domain. No quoted local parts or address literals (same documented
+    gaps as ``email``)."""
+    local, sep, domain = v.rpartition("@")
+    if not sep or not local or not domain:
+        return False
+    return (_IDN_LOCAL_RX.search(local) is not None
+            and _idn_hostname_ok(domain))
+
+
 #: format name -> str -> bool (Python side; interpreter path)
 FORMAT_CHECKERS: dict[str, Callable[[str], bool]] = {
     name: _regex_checker(rx, calendar=name in _DATE_BEARING)
     for name, rx in FORMAT_REGEX.items()
 }
 FORMAT_CHECKERS["regex"] = _ecma_regex_ok
+FORMAT_CHECKERS["idn-hostname"] = _idn_hostname_ok
+FORMAT_CHECKERS["idn-email"] = _idn_email_ok
+
+#: formats no native Spark expression can assert (regex compilability /
+#: punycode+nameprep) — format_predicate returns None and the columnar /
+#: variant compilers raise CompileFallback, routing those schemas to the
+#: Arrow interpreter stage of validate_json_column
+INTERPRETER_ONLY_FORMATS = frozenset({"regex", "idn-hostname", "idn-email"})
 
 
 def check_format(name: str, value) -> bool:
@@ -147,10 +212,10 @@ def check_format(name: str, value) -> bool:
 def format_predicate(name: str, col: Column) -> Optional[Column]:
     """Spark-side assertion over a STRING column (caller guards the type):
     a boolean Column, or None when the format cannot be asserted natively
-    (``regex``: no Spark expression tests regex compilability — callers
-    raise CompileFallback so the interpreter path takes over). Unknown
-    formats return a literal True (annotation)."""
-    if name == "regex":
+    (INTERPRETER_ONLY_FORMATS: regex compilability / IDNA punycode have no
+    Spark expression — callers raise CompileFallback so the interpreter
+    path takes over). Unknown formats return a literal True (annotation)."""
+    if name in INTERPRETER_ONLY_FORMATS:
         return None
     pattern = FORMAT_REGEX.get(name)
     if pattern is None:

@@ -213,7 +213,8 @@ def lsh_near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.45,
                        vec_col: str = "embedding",
                        max_bucket_size: int | None = None,
                        observation=None,
-                       cap_method: str = "exact") -> DataFrame:
+                       cap_method: str = "exact",
+                       cap_portable: bool = False) -> DataFrame:
     """Embedding near-dup pairs WITHOUT the all-pairs cross join (VERDICT r1
     'What's wrong' #1): banded random-hyperplane buckets generate candidate
     pairs (equi-join on (band, sig) — a shuffled hash join whose cost scales
@@ -234,7 +235,7 @@ def lsh_near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.45,
         from .dedup import cap_bucket_rows
         sigs = cap_bucket_rows(sigs, ["band", "sig"], "_id",
                                max_bucket_size, observation,
-                               method=cap_method)
+                               method=cap_method, portable=cap_portable)
     a = sigs.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"),
                     "band", "sig")
     b = sigs.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"),

@@ -88,6 +88,7 @@ def main() -> None:
         "rows_scanned": report.rows,
         "valid_rows": report.valid,
         "violations": report.violations,
+        "observed_metrics": ck.summed_observed_metrics() or None,
         "complete": done,
         "out": args.out,
     }))

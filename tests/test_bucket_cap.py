@@ -164,3 +164,48 @@ class TestSampledCapMode:
         with pytest.raises(ValueError, match="cap method"):
             minhash_candidate_pairs(df, "text", "doc_id", max_bucket_size=2,
                                     cap_method="typo").collect()
+
+
+class TestSampledPortable:
+    def test_portable_survivors_match_md5_replica(self, spark):
+        """cap_method='sampled' with portable=True must keep exactly the
+        rows whose md5-based portable hash of the stringified id is
+        0 mod ceil(n/cap) — replicated here in plain Python (hashlib) so
+        the DuckDB oracle (minhash_pairs_capped_sampled) is not the only
+        cross-engine pin."""
+        import hashlib
+
+        from json_schema_lean_spark.operators.dedup import cap_bucket_rows
+
+        rows = [(f"d{i:03d}", "b", 0) for i in range(30)] \
+            + [(f"u{i}", f"k{i}", 0) for i in range(5)]
+        df = spark.createDataFrame(rows, "_id string, key string, band int")
+        out = cap_bucket_rows(df, ["band", "key"], "_id",
+                              max_bucket_size=4, method="sampled",
+                              portable=True)
+        got = {r["_id"] for r in out.collect()}
+
+        def phash(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        mod = -(-30 // 4)  # ceil(n/cap) for the one oversized bucket
+        expected = {f"d{i:03d}" for i in range(30)
+                    if phash(f"d{i:03d}") % mod == 0} \
+            | {f"u{i}" for i in range(5)}
+        assert got == expected
+        assert 0 < len(got & {f"d{i:03d}" for i in range(30)}) < 30
+
+    def test_nonstring_format_is_ignored_everywhere(self, spark):
+        """ADVICE r4: {'format': 12} must compile and validate like the
+        reference (which has no format field at all) on every path, even
+        with assertion enabled."""
+        from json_schema_lean_spark.interpreter import CompiledValidator
+        from json_schema_lean_spark.operators.validation import (
+            validate_json_column,
+        )
+        schema = {"type": "string", "format": 12}
+        assert CompiledValidator(schema, assert_formats=True).is_valid("x")
+        df = spark.createDataFrame([("a", '"zz"')], "id string, j string")
+        rows = validate_json_column(df, "j", schema,
+                                    assert_formats=True).collect()
+        assert rows[0]["valid"] is True

@@ -137,3 +137,128 @@ def test_range_partitioned_output(spark, spans_path, tmp_path):
         if len(spans) > 1:
             checked_units += 1
     assert checked_units >= 1  # the disjointness assertion actually ran
+
+
+@pytest.fixture(scope="module")
+def dup_docs_path(spark, tmp_path_factory):
+    """Documents with heavy templated duplication so the LSH bucket cap
+    genuinely truncates inside every unit."""
+    path = str(tmp_path_factory.mktemp("ckptdup") / "docs")
+    rows = [(f"d{i:04d}", "common boilerplate text shared by every doc "
+             + ("alpha" if i % 2 else "beta")) for i in range(400)]
+    spark.createDataFrame(rows, "doc_id string, text string") \
+        .repartition(6).write.parquet(path)
+    return path
+
+
+def _capped_dedup_unit_fn(spark, df):
+    """unit_fn: capped MinHash pairs with a FRESH Observation per unit."""
+    from pyspark.sql import Observation
+
+    from json_schema_lean_spark.operators.dedup import minhash_candidate_pairs
+
+    obs = Observation()
+    pairs = minhash_candidate_pairs(df, "text", "doc_id", k=16, bands=4,
+                                    max_bucket_size=3, observation=obs,
+                                    cap_method="sampled")
+    return pairs, obs
+
+
+def test_observed_metrics_in_manifest_across_resume(spark, dup_docs_path,
+                                                    tmp_path):
+    """VERDICT r4 #5: cap Observation metrics must land in each unit's
+    manifest entry and aggregate across a killed-and-resumed run exactly
+    as in a fresh uninterrupted one."""
+    out_a = str(tmp_path / "a")
+    ck = CheckpointedValidation(spark, dup_docs_path, {"type": "object"},
+                                out_a, files_per_unit=2,
+                                unit_fn=_capped_dedup_unit_fn)
+    r1 = ck.run(max_units=1)  # kill after one unit
+    assert r1.units_processed == 1
+    assert r1.observed and r1.observed["dropped_candidate_pairs"] > 0
+    r2 = ck.run()  # resume
+    assert r2.units_skipped == 1 and r2.units_processed >= 1
+
+    entries = ck.manifest()
+    assert all(e["observed_metrics"] is not None for e in entries)
+    assert all(e["observed_metrics"]["dropped_candidate_pairs"] > 0
+               for e in entries)
+    # verdict-less unit output: rows_scanned still tracked, valid/violations
+    # honestly absent
+    assert all(e["valid_rows"] is None and e["violations"] is None
+               for e in entries)
+
+    # resumed-run totals == fresh-run totals (determinism across resume)
+    out_b = str(tmp_path / "b")
+    fresh = CheckpointedValidation(spark, dup_docs_path, {"type": "object"},
+                                   out_b, files_per_unit=2,
+                                   unit_fn=_capped_dedup_unit_fn)
+    fresh.run()
+    assert ck.summed_observed_metrics() == fresh.summed_observed_metrics()
+    # the run-report accumulators agree with the manifest view
+    combined = dict(fresh.summed_observed_metrics())
+    assert combined["dropped_candidate_pairs"] == sum(
+        e["observed_metrics"]["dropped_candidate_pairs"]
+        for e in fresh.manifest())
+    assert combined["max_bucket_rows"] == max(
+        e["observed_metrics"]["max_bucket_rows"] for e in fresh.manifest())
+    # and the resumed outputs are row-identical to the fresh ones
+    got = sorted((r["id_a"], r["id_b"]) for r in ck.results().collect())
+    want = sorted((r["id_a"], r["id_b"]) for r in fresh.results().collect())
+    assert got == want and got
+
+
+def test_observation_survives_empty_result(spark, tmp_path):
+    """Direct pin of the Spark 4.1.2 hazard: AQE empty-relation propagation
+    prunes CollectMetrics when the observed query's final result is empty.
+    preserve_observed_metrics must keep the accounting; the hardened reader
+    must return None (not an opaque Py4J assertion) when it was lost."""
+    from pyspark.sql import Observation
+
+    from json_schema_lean_spark.observe import (
+        observed_metrics_or_none,
+        preserve_observed_metrics,
+    )
+    from json_schema_lean_spark.operators.dedup import minhash_candidate_pairs
+
+    # one giant bucket; cap=2 sampled keeps <=? survivors — engineer ids so
+    # NO survivor remains: mod = ceil(n/2), survivors need xxhash64(id) % mod
+    # == 0, so probe until a doc set with zero pairs is found (deterministic
+    # hashes: the found set is then stable forever)
+    import itertools
+    found = None
+    for offset in itertools.count(0):
+        rows = [(f"e{offset}_{i}", "all docs share this exact text")
+                for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        pairs = minhash_candidate_pairs(df, "text", "doc_id", k=16, bands=4,
+                                        max_bucket_size=2,
+                                        cap_method="sampled")
+        if pairs.count() == 0:
+            found = rows
+            break
+        if offset > 30:
+            pytest.skip("no zero-pair sample found in 30 probes")
+    df = spark.createDataFrame(found, "doc_id string, text string")
+
+    # WITHOUT the guard: metrics are pruned; reader returns None, not a crash
+    obs = Observation()
+    pairs = minhash_candidate_pairs(df, "text", "doc_id", k=16, bands=4,
+                                    max_bucket_size=2, observation=obs,
+                                    cap_method="sampled")
+    pairs.write.mode("overwrite").parquet(str(tmp_path / "p1"))
+    assert observed_metrics_or_none(obs) is None
+
+    # WITH the guard: full accounting despite the empty result
+    obs2 = Observation()
+    pairs2 = minhash_candidate_pairs(df, "text", "doc_id", k=16, bands=4,
+                                     max_bucket_size=2, observation=obs2,
+                                     cap_method="sampled")
+    with preserve_observed_metrics(spark):
+        pairs2.write.mode("overwrite").parquet(str(tmp_path / "p2"))
+    m = observed_metrics_or_none(obs2)
+    assert m is not None and m["oversized_buckets"] == 4
+    assert m["max_bucket_rows"] == 6 and m["dropped_candidate_pairs"] > 0
+    # conf restored
+    assert spark.conf.get("spark.sql.adaptive.optimizer.excludedRules",
+                          None) is None

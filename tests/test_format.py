@@ -20,6 +20,7 @@ from pyspark.sql.types import StringType
 from json_schema_lean_spark.compiler import ColumnarCompiler, CompileFallback
 from json_schema_lean_spark.formats import (
     FORMAT_REGEX,
+    INTERPRETER_ONLY_FORMATS,
     check_format,
     format_predicate,
 )
@@ -42,8 +43,8 @@ def load_format_cases():
 
 def test_corpus_loaded():
     cases = load_format_cases()
-    assert len(cases) == 12
-    assert sum(len(t) for _, _, t in cases) >= 60
+    assert len(cases) == 16
+    assert sum(len(t) for _, _, t in cases) >= 90
 
 
 def test_interpreter_asserted_verdicts():
@@ -66,7 +67,7 @@ def test_columnar_asserted_verdicts(spark):
     for stem, schema, tests in load_format_cases():
         strings = [(d, e) for d, e in tests if isinstance(d, str)]
         comp = ColumnarCompiler(schema, assert_formats=True)
-        if stem == "regex":
+        if stem in INTERPRETER_ONLY_FORMATS:
             with pytest.raises(CompileFallback, match="format"):
                 comp.lower(StringType(), null_means="null")
             continue
@@ -91,7 +92,7 @@ def test_columnar_default_has_no_format_predicate(spark):
 
 def test_variant_asserted_verdicts(spark):
     for stem, schema, tests in load_format_cases():
-        if stem == "regex":
+        if stem in INTERPRETER_ONLY_FORMATS:
             with pytest.raises(CompileFallback, match="format"):
                 VariantCompiler(schema, assert_formats=True).lower()
             continue
@@ -110,8 +111,11 @@ def test_every_format_regex_transpiles():
     for name, rx in FORMAT_REGEX.items():
         assert to_java_regex(rx) is not None, name
         assert format_predicate(name, F.lit("x")) is not None, name
-    assert format_predicate("regex", F.lit("x")) is None  # interpreter-only
+    for name in sorted(INTERPRETER_ONLY_FORMATS):
+        assert format_predicate(name, F.lit("x")) is None, name
     assert check_format("regex", "(") is False
+    assert check_format("idn-hostname", "실례.테스트") is True
+    assert check_format("idn-email", "실례@실례.테스트") is True
 
 
 def test_unknown_format_is_annotation_everywhere(spark):
@@ -165,6 +169,15 @@ def test_operator_level_pass_through(spark):
     out = {r["j"]: r["valid"] for r in validate_json_column(
         rdf, "j", rschema, assert_formats=True).collect()}
     assert out == {'"[a-z]+"': True, '"("': False}
+
+    # same route for the IDNA formats (punycode has no Spark expression)
+    idf = spark.createDataFrame(
+        [('"joe@xn--9n2bp8q.example"',), ('"joe@exa_mple.com"',)], "j string")
+    ischema = {"type": "string", "format": "idn-email"}
+    out = {r["j"]: r["valid"] for r in validate_json_column(
+        idf, "j", ischema, assert_formats=True).collect()}
+    assert out == {'"joe@xn--9n2bp8q.example"': True,
+                   '"joe@exa_mple.com"': False}
     # and with assertion off the same schema validates everything
     out = {r["j"]: r["valid"]
            for r in validate_json_column(rdf, "j", rschema).collect()}
@@ -225,10 +238,11 @@ def test_spans_chain_does_not_drop_format_assertion(spark):
     assert [v["keyword"] for v in bad["violations"]] == ["format"]
 
 
-def test_regex_format_in_spans_chain_raises_actionably(spark):
+def test_regex_format_in_spans_chain_lands_on_interpreter(spark):
     """format:'regex' cannot lower on ANY columnar strategy; the spans
-    chain must surface one actionable CompileFallback naming the
-    interpreter route, not a bare internal fallback (r4 review)."""
+    chain's to_json -> Arrow-interpreter LAST RESORT (VERDICT r4 #7) must
+    make it total — correct verdicts, violations, and output schema
+    instead of the pre-r5 actionable CompileFallback."""
     from json_schema_lean_spark.operators.validation import validate_spans_best
 
     ddl = ("doc_id string, spans array<struct<kind:string,text:string,"
@@ -236,11 +250,65 @@ def test_regex_format_in_spans_chain_raises_actionably(spark):
     schema = {"type": "object", "properties": {
         "doc_id": {"format": "regex"},
         "spans": {"type": "array"}}}
-    df = spark.createDataFrame([("d(", [("text", "t", None, 0)])], ddl)
-    # annotation default: fine
-    assert validate_spans_best(df, schema).collect()[0]["valid"] is True
-    with pytest.raises(CompileFallback, match="validate_json_column"):
-        validate_spans_best(df, schema, assert_formats=True)
+    df = spark.createDataFrame([("d(", [("text", "t", None, 0)]),
+                                ("[a-z]+", [("text", "u", None, 0)])], ddl)
+    # annotation default: fine (and fused-fast)
+    got = {r["doc_id"]: r["valid"]
+           for r in validate_spans_best(df, schema).collect()}
+    assert got == {"d(": True, "[a-z]+": True}
+    # asserted: the interpreter last resort takes over
+    rows = {r["doc_id"]: r for r in validate_spans_best(
+        df, schema, assert_formats=True).collect()}
+    assert rows["[a-z]+"]["valid"] is True
+    assert rows["d("]["valid"] is False
+    assert [v["keyword"] for v in rows["d("]["violations"]] == ["format"]
+    # output schema identical to the columnar strategies'
+    cols = validate_spans_best(df, schema, assert_formats=True).columns
+    assert cols == ["doc_id", "spans", "valid", "violations"]
+
+
+def test_spans_interpreter_last_resort_matches_columnar(spark):
+    """The to_json serialization of the row struct must hit the SAME
+    verdicts as the columnar chain on a schema both can express — NULL
+    columns read as absent properties, NULL span elements as JSON null."""
+    from json_schema_lean_spark.operators.validation import (
+        validate_dataframe,
+        validate_json_column,
+        validate_spans_best,
+    )
+
+    ddl = ("doc_id string, spans array<struct<kind:string,text:string,"
+           "media_ref:string,offset:int>>")
+    schema = {
+        "type": "object",
+        "required": ["doc_id"],
+        "properties": {
+            "doc_id": {"type": "string", "minLength": 2},
+            "spans": {"type": "array", "items": {
+                "type": "object",
+                "required": ["kind"],
+                "properties": {"kind": {"enum": ["text", "image"]},
+                               "offset": {"minimum": 0}}}},
+        },
+    }
+    rows = [("ok1", [("text", "a", None, 0)]),
+            ("x", [("text", "a", None, 0)]),          # minLength
+            ("ok2", [("video", "b", None, 1)]),        # enum
+            ("ok3", [("image", None, "m", -1)]),       # minimum
+            (None, [("text", "a", None, 0)]),          # required (null->absent)
+            ("ok4", [None]),                           # null span element
+            ("ok5", None)]                             # null spans column
+    df = spark.createDataFrame(rows, ddl)
+    col = {r["doc_id"]: (r["valid"], tuple(sorted(
+               (v["keyword"], v["json_pointer"]) for v in r["violations"])))
+           for r in validate_spans_best(df, schema).collect()}
+    interp = {r["doc_id"]: (r["valid"], tuple(sorted(
+                 (v["keyword"], v["json_pointer"]) for v in r["violations"])))
+              for r in validate_json_column(
+                  df.withColumn("_j", F.to_json(
+                      F.struct(*[F.col(c) for c in df.columns]))),
+                  "_j", schema, prefer_variant=False).collect()}
+    assert col == interp
 
 
 def test_format_predicate_stays_jvm_side(spark):
