@@ -120,6 +120,62 @@ def force(df) -> int:
     return df.select(F.count(F.lit(1))).collect()[0][0]
 
 
+def measure_runs(fn, ext_cores_cap: float, base_runs: int = 3,
+                 max_extra: int = 3) -> dict:
+    """Shared timed-run loop with contention telemetry (r5: factored out of
+    bench() so the sf1 child self-documents identically — its runs swung
+    [190, 34, 10.5] vs [102, 32, 3.8] across invocations with a WARM page
+    cache, i.e. neighbor load, which an un-instrumented child could not
+    prove). Each run records wall, our whole-tree CPU, loadavg1, and
+    external busy cores; dispersed-or-pressured results re-run up to
+    ``max_extra`` times, and a fresh quiet run near the best confirms it
+    clean. Returns runs/loads/tree_cpu/ext_cores/result/flagged."""
+    runs: list[float] = []
+    loads: list[float] = []
+    tree_cpu: list[float] = []
+    ext_cores: list[float] = []
+    result = [None]
+
+    def one():
+        loads.append(round(os.getloadavg()[0], 2))
+        busy0 = _machine_busy_sec()
+        c0 = _tree_cpu_sec()
+        t0 = time.perf_counter()
+        result[0] = fn()
+        wall = time.perf_counter() - t0
+        ours = _tree_cpu_sec() - c0
+        ext = max(0.0, _machine_busy_sec() - busy0 - ours)
+        runs.append(round(wall, 3))
+        tree_cpu.append(round(ours, 2))
+        ext_cores.append(round(ext / max(wall, 1e-6), 2))
+
+    for _ in range(base_runs):
+        one()
+
+    def best_contended() -> bool:
+        warm = runs[1:]
+        dispersed = max(warm) > 2.0 * min(warm) if len(warm) > 1 else False
+        best_ext = ext_cores[runs.index(min(runs))]
+        return dispersed or best_ext > ext_cores_cap
+
+    extra = 0
+    confirmed_clean = False
+    while best_contended() and extra < max_extra:
+        one()
+        extra += 1
+        # a fresh quiet run near the current best refutes the stale
+        # contended history — stop early AND clear the flag
+        if runs[-1] <= 1.3 * min(runs) and ext_cores[-1] <= ext_cores_cap:
+            confirmed_clean = True
+            break
+
+    return {
+        "runs": runs, "loads": loads, "tree_cpu": tree_cpu,
+        "ext_cores": ext_cores, "result": result[0], "extra": extra,
+        "flagged": best_contended() and not confirmed_clean,
+    }
+
+
 def _ensure_spans_dataset(spark, path: str, n_docs: int,
                           partitions: int) -> None:
     """Generate the spans parquet at ``path`` unless a COMPLETE copy exists.
@@ -186,21 +242,44 @@ def _sf1_child() -> None:
     # (timed, reported) so the three timed runs measure the engine.
     pretouch_sec = _pretouch(sf1_path)
     spans_sf1 = spark.read.parquet(sf1_path)
-    runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        row = (validate_spans_best(spans_sf1, SPAN_SCHEMA,
-                                   keep_cols=["doc_id"])
-               .select(F.count(F.lit(1)).alias("n"),
-                       F.sum(F.col("valid").cast("long")).alias("ok"))
-               .collect()[0])
-        runs.append(round(time.perf_counter() - t0, 3))
+    # JIT warm-up prefix (r5): a fresh JVM's FIRST full pass used to burn
+    # 2,200-3,300 CPU-s (114-190 s wall) executing the giant generated
+    # methods in the interpreter while the JIT tiers installed; three
+    # passes over a 60k-doc prefix (~7 s) complete the same compilations,
+    # so the honest one-shot cost = warmup + run 0 (~15 s), reported
+    # separately instead of poisoning the throughput point
+    from json_schema_lean_spark.operators.validation import (
+        warm_validation_codegen,
+    )
+    warmup_sec = warm_validation_codegen(spans_sf1, SPAN_SCHEMA,
+                                         keep_cols=["doc_id"])
+
+    def run_once():
+        return (validate_spans_best(spans_sf1, SPAN_SCHEMA,
+                                    keep_cols=["doc_id"])
+                .select(F.count(F.lit(1)).alias("n"),
+                        F.sum(F.col("valid").cast("long")).alias("ok"))
+                .collect()[0])
+
+    # full telemetry + contention re-runs, same loop as the parent (r5):
+    # with the page cache pre-touched this point still swung 4-190 s per
+    # run on this multi-tenant box, and without per-run external-cores
+    # numbers the artifact could not say WHY
+    m = measure_runs(run_once, ext_cores_cap=max(
+        2.0, 0.15 * (os.cpu_count() or cpus)))
+    row = m["result"]
     print(json.dumps({
         "spans_sf1_docs": row["n"],
         "spans_sf1_valid": row["ok"],
         "spans_sf1_io_pretouch_sec": pretouch_sec,
-        "spans_sf1_runs_sec": runs,
-        "spans_sf1_docs_per_sec": round(row["n"] / min(runs), 1),
+        "spans_sf1_jit_warmup_sec": warmup_sec,
+        "spans_sf1_one_shot_sec": round(warmup_sec + m["runs"][0], 3),
+        "spans_sf1_runs_sec": m["runs"],
+        "spans_sf1_loadavg1": m["loads"],
+        "spans_sf1_tree_cpu_sec": m["tree_cpu"],
+        "spans_sf1_external_cores": m["ext_cores"],
+        "spans_sf1_contention_flagged": m["flagged"],
+        "spans_sf1_docs_per_sec": round(row["n"] / min(m["runs"]), 1),
     }))
 
 
@@ -250,58 +329,17 @@ def main() -> None:
     ext_cores_cap = max(2.0, 0.15 * (os.cpu_count() or cpus))
 
     def bench(name: str, fn, max_extra: int = 3) -> None:
-        runs: list[float] = []
-        loads: list[float] = []
-        jvm_cpu: list[float] = []
-        ext_cores: list[float] = []
-        rows_cell = []
-
-        def one():
-            loads.append(round(os.getloadavg()[0], 2))
-            busy0 = _machine_busy_sec()
-            c0 = _tree_cpu_sec()
-            t0 = time.perf_counter()
-            rows_cell[:] = [fn()]
-            wall = time.perf_counter() - t0
-            ours = _tree_cpu_sec() - c0
-            ext = max(0.0, _machine_busy_sec() - busy0 - ours)
-            runs.append(round(wall, 3))
-            jvm_cpu.append(round(ours, 2))
-            ext_cores.append(round(ext / max(wall, 1e-6), 2))
-
-        for _ in range(3):
-            one()
-
-        def best_contended() -> bool:
-            warm = runs[1:]
-            dispersed = max(warm) > 2.0 * min(warm) if len(warm) > 1 else False
-            best_ext = ext_cores[runs.index(min(runs))]
-            return dispersed or best_ext > ext_cores_cap
-
-        extra = 0
-        confirmed_clean = False
-        while best_contended() and extra < max_extra:
-            one()
-            extra += 1
-            # a fresh quiet run near the current best confirms the best
-            # run is clean — stop early AND clear the flag (the stale
-            # contended run stays in the history, so best_contended()
-            # alone would keep reporting pressure that was just refuted)
-            if (runs[-1] <= 1.3 * min(runs)
-                    and ext_cores[-1] <= ext_cores_cap):
-                confirmed_clean = True
-                break
-
-        timings[name] = round(min(runs), 3)
-        cold[name] = runs[0]
-        extras[f"{name}_rows"] = rows_cell[0]
-        extras[f"{name}_runs_sec"] = runs
-        extras[f"{name}_loadavg1"] = loads
-        extras[f"{name}_tree_cpu_sec"] = jvm_cpu
-        extras[f"{name}_external_cores"] = ext_cores
-        if extra:
-            extras[f"{name}_contention_reruns"] = extra
-        if best_contended() and not confirmed_clean:
+        m = measure_runs(fn, ext_cores_cap, max_extra=max_extra)
+        timings[name] = round(min(m["runs"]), 3)
+        cold[name] = m["runs"][0]
+        extras[f"{name}_rows"] = m["result"]
+        extras[f"{name}_runs_sec"] = m["runs"]
+        extras[f"{name}_loadavg1"] = m["loads"]
+        extras[f"{name}_tree_cpu_sec"] = m["tree_cpu"]
+        extras[f"{name}_external_cores"] = m["ext_cores"]
+        if m["extra"]:
+            extras[f"{name}_contention_reruns"] = m["extra"]
+        if m["flagged"]:
             flagged.append(name)
 
     # spans table is the north_rule input: generate once, persist to parquet
@@ -369,8 +407,10 @@ def main() -> None:
         try:
             child = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=1200)
+                capture_output=True, text=True, timeout=1800)
             extras.update(json.loads(child.stdout.strip().splitlines()[-1]))
+            if extras.get("spans_sf1_contention_flagged"):
+                flagged.append("spans_sf1")
         except Exception as exc:  # never lose the headline artifact
             extras["spans_sf1_error"] = f"{type(exc).__name__}: {exc}"
 

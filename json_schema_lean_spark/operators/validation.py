@@ -501,6 +501,36 @@ def validate_json_column(df: DataFrame, json_col: str, schema_json: Any,
     })
 
 
+def warm_validation_codegen(df: DataFrame, schema_json: Any,
+                            rows: int = 60_000, passes: int = 3,
+                            **kwargs) -> float:
+    """Force-JIT the validation plan on a tiny prefix before a big one-shot
+    run; returns seconds spent.
+
+    Why this exists (measured, local[32], 6M docs, fresh JVM): the fused
+    validator's generated classes start in the JVM interpreter and the
+    first full-scale run burned 2,200-3,300 CPU-seconds (walls of
+    114-190 s) before the JIT tiers finished installing — 15-25x the
+    steady-state 99-200 CPU-s. Three passes over a ~1% prefix (7 s wall,
+    52 CPU-s) complete the same compilations on trivial data, after which
+    the first full pass runs in ~7.7 s. A one-shot spark-submit batch job
+    should do exactly this; on a real cluster every EXECUTOR JVM pays the
+    same interpreter tax, and a sample-sized warm-up pass amortizes it
+    identically. (Pair with -XX:ReservedCodeCacheSize=512m — see bench.py —
+    or the compiled tiers silently fall back out again.)
+
+    kwargs are forwarded to :func:`validate_spans_best` so the warmed plan
+    matches the real one (same spans_col/registry/assert_formats =>
+    same generated code)."""
+    import time as _time
+    t0 = _time.perf_counter()
+    head = df.limit(rows)
+    for _ in range(passes):
+        (validate_spans_best(head, schema_json, **kwargs)
+         .select(F.count(F.lit(1))).collect())
+    return round(_time.perf_counter() - t0, 3)
+
+
 def validate_spans_best(df: DataFrame, schema_json: Any,
                         spans_col: str = "spans",
                         registry: Optional[dict[str, Any]] = None,

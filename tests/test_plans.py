@@ -145,3 +145,25 @@ def test_fused_maxlength_zero(spark):
                df, schema, keep_cols=["doc_id"],
                with_violations=False).collect()}
     assert got == {"a": True, "b": False, "c": True}
+
+
+def test_warm_validation_codegen_is_plan_neutral(spark):
+    """warm_validation_codegen must leave verdicts untouched (it only runs
+    the SAME plan over a prefix) and return the seconds it spent."""
+    from json_schema_lean_spark.operators.validation import (
+        validate_spans_best,
+        warm_validation_codegen,
+    )
+    from json_schema_lean_spark.sources.spansgen import (
+        SPAN_SCHEMA,
+        spans_documents,
+    )
+    df = spans_documents(spark, 300)
+    before = {r["doc_id"]: r["valid"] for r in validate_spans_best(
+        df, SPAN_SCHEMA, keep_cols=["doc_id"]).collect()}
+    spent = warm_validation_codegen(df, SPAN_SCHEMA, rows=50, passes=2,
+                                    keep_cols=["doc_id"])
+    assert isinstance(spent, float) and spent > 0
+    after = {r["doc_id"]: r["valid"] for r in validate_spans_best(
+        df, SPAN_SCHEMA, keep_cols=["doc_id"]).collect()}
+    assert before == after
