@@ -242,18 +242,28 @@ def _sf1_child() -> None:
     # (timed, reported) so the three timed runs measure the engine.
     pretouch_sec = _pretouch(sf1_path)
     spans_sf1 = spark.read.parquet(sf1_path)
-    # JIT warm-up prefix (r5): a fresh JVM's FIRST full pass used to burn
-    # 2,200-3,300 CPU-s (114-190 s wall) executing the giant generated
+    # JIT warm-up (r5): a fresh JVM's FIRST full pass used to burn
+    # 2,200-4,000 CPU-s (114-190 s wall) executing the giant generated
     # methods in the interpreter while the JIT tiers installed; three
-    # passes over a 60k-doc prefix (~7 s) complete the same compilations,
-    # so the honest one-shot cost = warmup + run 0 (~15 s), reported
-    # separately instead of poisoning the throughput point
+    # passes over a SEPARATE 60k-doc parquet dir — read the same way, so
+    # the generated stage source (and thus the JIT-compiled methods) is
+    # IDENTICAL to the full run's; a limit() of the big input is NOT,
+    # because the fused LocalLimit changes the class — complete the same
+    # compilations in ~7 s. The honest one-shot cost = warmup + run 0,
+    # reported separately instead of poisoning the throughput point.
     from json_schema_lean_spark.operators.validation import (
         warm_validation_codegen,
     )
-    warmup_sec = warm_validation_codegen(spans_sf1, SPAN_SCHEMA,
-                                         keep_cols=["doc_id"])
+    warm_path = "/tmp/spark_graft_spans_60000"
+    _ensure_spans_dataset(spark, warm_path, 60_000, partitions=8)
+    warmup_sec = warm_validation_codegen(spark.read.parquet(warm_path),
+                                         SPAN_SCHEMA, keep_cols=["doc_id"])
 
+    # each run rebuilds the DataFrame: re-collecting ONE DataFrame under
+    # AQE reuses its materialized shuffle stages (measured 0.07 s "runs" —
+    # cached results, not work). A rebuilt plan lowers to the same
+    # generated source, so the janino class cache + JIT stay warm while
+    # the job genuinely re-executes.
     def run_once():
         return (validate_spans_best(spans_sf1, SPAN_SCHEMA,
                                     keep_cols=["doc_id"])
@@ -264,9 +274,12 @@ def _sf1_child() -> None:
     # full telemetry + contention re-runs, same loop as the parent (r5):
     # with the page cache pre-touched this point still swung 4-190 s per
     # run on this multi-tenant box, and without per-run external-cores
-    # numbers the artifact could not say WHY
+    # numbers the artifact could not say WHY. 5 base runs (not 3): this
+    # box's memory bandwidth is the scaling ceiling (BENCH/BASELINE.md),
+    # so even a sub-core neighbor blip doubles a run's CPU-seconds — the
+    # published best-of needs enough draws to catch a quiet window
     m = measure_runs(run_once, ext_cores_cap=max(
-        2.0, 0.15 * (os.cpu_count() or cpus)))
+        2.0, 0.15 * (os.cpu_count() or cpus)), base_runs=5)
     row = m["result"]
     print(json.dumps({
         "spans_sf1_docs": row["n"],
@@ -402,6 +415,9 @@ def main() -> None:
     # — a fresh JVM is also the honest "one-shot batch job" being claimed.
     if os.environ.get("SPARK_GRAFT_SF1", "1") == "1" and sf >= 0.05:
         import subprocess
+        # the parent is done with Spark: release its JVM (heap + 32 idle
+        # threads) so the child's fresh JVM measures alone on the box
+        spark.stop()
         env = dict(os.environ, SPARK_GRAFT_SF1_CHILD="1",
                    SPARK_GRAFT_CPUS=str(cpus))
         try:

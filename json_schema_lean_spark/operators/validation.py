@@ -502,29 +502,37 @@ def validate_json_column(df: DataFrame, json_col: str, schema_json: Any,
 
 
 def warm_validation_codegen(df: DataFrame, schema_json: Any,
-                            rows: int = 60_000, passes: int = 3,
+                            rows: Optional[int] = None, passes: int = 3,
                             **kwargs) -> float:
-    """Force-JIT the validation plan on a tiny prefix before a big one-shot
-    run; returns seconds spent.
+    """Force-JIT the validation plan on a SMALL same-schema dataset before
+    a big one-shot run; returns seconds spent.
 
     Why this exists (measured, local[32], 6M docs, fresh JVM): the fused
     validator's generated classes start in the JVM interpreter and the
-    first full-scale run burned 2,200-3,300 CPU-seconds (walls of
-    114-190 s) before the JIT tiers finished installing — 15-25x the
-    steady-state 99-200 CPU-s. Three passes over a ~1% prefix (7 s wall,
-    52 CPU-s) complete the same compilations on trivial data, after which
-    the first full pass runs in ~7.7 s. A one-shot spark-submit batch job
-    should do exactly this; on a real cluster every EXECUTOR JVM pays the
-    same interpreter tax, and a sample-sized warm-up pass amortizes it
+    first full-scale run burned 2,200-4,000 CPU-seconds (walls of
+    114-190 s) before the JIT tiers finished installing — 15-40x the
+    steady-state 84-200 CPU-s. Three passes over a ~1% dataset (7 s wall,
+    ~55 CPU-s) complete the same compilations on trivial data, after which
+    the first full pass measured 4.5-7.7 s. A one-shot spark-submit batch
+    job should do exactly this; on a real cluster every EXECUTOR JVM pays
+    the same interpreter tax, and a sample-sized warm-up pass amortizes it
     identically. (Pair with -XX:ReservedCodeCacheSize=512m — see bench.py —
     or the compiled tiers silently fall back out again.)
+
+    Pass ``df`` as a SMALL dataset READ THE SAME WAY as the real input
+    (e.g. a 60k-doc parquet dir when the job reads parquet): the warmed
+    stage then generates the IDENTICAL source as the full run and the JIT
+    work transfers. ``rows`` (optional) trims via ``limit`` — convenient,
+    but a fused LocalLimit changes the generated class, so the measured
+    transfer was unreliable (first full pass still hit 55-152 s in 3 of 5
+    trials); prefer a separate small input over a limit of the big one.
 
     kwargs are forwarded to :func:`validate_spans_best` so the warmed plan
     matches the real one (same spans_col/registry/assert_formats =>
     same generated code)."""
     import time as _time
     t0 = _time.perf_counter()
-    head = df.limit(rows)
+    head = df.limit(rows) if rows is not None else df
     for _ in range(passes):
         (validate_spans_best(head, schema_json, **kwargs)
          .select(F.count(F.lit(1))).collect())
