@@ -77,6 +77,8 @@ class RunReport:
     #: call (per-unit values live in each manifest entry; resumed runs
     #: re-aggregate across manifests with summed_observed_metrics())
     observed: Optional[dict] = None
+    #: seconds spent force-JITting the validator before the first unit
+    warmup_sec: float = 0.0
 
 
 class CheckpointedValidation:
@@ -86,7 +88,8 @@ class CheckpointedValidation:
                  files_per_unit: int = 32, run_id: str = "run-0",
                  range_partitions: int = 0,
                  range_col: str = "doc_id",
-                 unit_fn=None) -> None:
+                 unit_fn=None,
+                 warm_start: bool = True) -> None:
         self.spark = spark
         self.input_path = input_path
         self.schema_json = schema_json
@@ -114,6 +117,16 @@ class CheckpointedValidation:
         # "observed_metrics", so a resumed multi-unit run aggregates its
         # no-silent-caps accounting across units (VERDICT r4 #5)
         self.unit_fn = unit_fn
+        # warm_start: force-JIT the validator on the SMALLEST input file
+        # before the first pending unit (default spans validation only; a
+        # custom unit_fn warms whatever it wants). Measured: a fresh JVM's
+        # first full-scale pass runs the giant generated methods in the
+        # interpreter at 15-40x steady-state CPU until the JIT tiers
+        # install; two passes over one small file complete the same
+        # compilations up front, so unit 0 is not the slow outlier of the
+        # whole run. Reading a real input file (not a limit() of one)
+        # keeps the generated stage source identical to the units'.
+        self.warm_start = warm_start
         self.validator_version = __version__
         self.schema_hash = _schema_hash(schema_json)
         os.makedirs(f"{out_dir}/manifest", exist_ok=True)
@@ -152,6 +165,18 @@ class CheckpointedValidation:
         units = plan_units(files, self.files_per_unit)
         skipped = processed = rows = valid = viols = 0
         observed: dict = {}
+        warmup_sec = 0.0
+        pending = [u for u in units
+                   if not self._completed(u[0], _file_surrogate(u[1]))]
+        if pending and self.warm_start and self.unit_fn is None:
+            from .operators.validation import warm_validation_codegen
+            small_df = self.spark.read.parquet(min(files,
+                                                   key=os.path.getsize))
+            warmup_sec = warm_validation_codegen(
+                small_df, self.schema_json, passes=2,
+                spans_col=self.spans_col,
+                keep_cols=(self.keep_cols if self.keep_cols is not None
+                           else [small_df.columns[0]]))
         for unit_id, chunk in units:
             surrogate = _file_surrogate(chunk)
             if self._completed(unit_id, surrogate):
@@ -245,7 +270,8 @@ class CheckpointedValidation:
                         else:
                             observed[k] = observed.get(k, 0) + v
         return RunReport(self.run_id, len(units), skipped, processed,
-                         rows, valid, viols, observed or None)
+                         rows, valid, viols, observed or None,
+                         warmup_sec)
 
     def results(self) -> DataFrame:
         """Combined output of the CURRENT unit plan only. Parts directories

@@ -89,6 +89,7 @@ def main() -> None:
         "valid_rows": report.valid,
         "violations": report.violations,
         "observed_metrics": ck.summed_observed_metrics() or None,
+        "jit_warmup_sec": report.warmup_sec,
         "complete": done,
         "out": args.out,
     }))

@@ -262,3 +262,26 @@ def test_observation_survives_empty_result(spark, tmp_path):
     # conf restored
     assert spark.conf.get("spark.sql.adaptive.optimizer.excludedRules",
                           None) is None
+
+
+def test_warm_start_reported_and_neutral(spark, spans_path, tmp_path):
+    """Warm-start (default on) force-JITs the validator on the smallest
+    input file BEFORE the first pending unit and reports the time spent;
+    it runs only when units are actually pending, and never changes the
+    validated output (plan-neutral: it only reads + counts)."""
+    out_dir = str(tmp_path / "out")
+    ck = CheckpointedValidation(spark, spans_path, SPAN_SCHEMA, out_dir,
+                                files_per_unit=2)
+    r1 = ck.run()
+    assert r1.warmup_sec > 0
+    # fully completed plan: nothing pending -> no warm-up pass at all
+    r2 = ck.run()
+    assert r2.warmup_sec == 0.0 and r2.units_processed == 0
+
+    # warm_start=False never warms; combined output identical either way
+    out_b = str(tmp_path / "b")
+    cold = CheckpointedValidation(spark, spans_path, SPAN_SCHEMA, out_b,
+                                  files_per_unit=2, warm_start=False)
+    rb = cold.run()
+    assert rb.warmup_sec == 0.0 and rb.units_processed == r1.units_processed
+    assert canon(ck.results().collect()) == canon(cold.results().collect())
