@@ -119,13 +119,16 @@ class CheckpointedValidation:
         self.unit_fn = unit_fn
         # warm_start: force-JIT the validator on the SMALLEST input file
         # before the first pending unit (default spans validation only; a
-        # custom unit_fn warms whatever it wants). Measured: a fresh JVM's
-        # first full-scale pass runs the giant generated methods in the
-        # interpreter at 15-40x steady-state CPU until the JIT tiers
-        # install; two passes over one small file complete the same
-        # compilations up front, so unit 0 is not the slow outlier of the
-        # whole run. Reading a real input file (not a limit() of one)
-        # keeps the generated stage source identical to the units'.
+        # custom unit_fn warms whatever it wants). Measured on the 12.1M-doc
+        # run (16 units of 1.5M docs, local[32], fresh JVM, A/B repeated):
+        # unit 0 falls 10.0-10.4 s -> 5.4-6.0 s for a 3.6-4.1 s warm-up —
+        # WALL-NEUTRAL in a single shared JVM, but unit 0 stops being a
+        # 3.3x outlier, so per-unit manifest times read as steady-state
+        # and progress/ETA extrapolation from early units is honest. (The
+        # 15-40x interpreter tax from the one-shot sf1 bench appears when
+        # the FIRST pass is the entire input; a 1.5M-row first unit caps
+        # the exposure at ~2x.) Reading a real input file (not a limit()
+        # of one) keeps the generated stage source identical to the units'.
         self.warm_start = warm_start
         self.validator_version = __version__
         self.schema_hash = _schema_hash(schema_json)

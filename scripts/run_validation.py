@@ -44,6 +44,9 @@ def main() -> None:
                     help="if >0, commit each unit repartitionByRange(doc_id) "
                          "into this many doc_id-disjoint, sorted output files")
     ap.add_argument("--range-col", default="doc_id")
+    ap.add_argument("--no-warm-start", action="store_true",
+                    help="skip the pre-unit JIT warm-up pass (default: warm "
+                         "on the smallest input file when units are pending)")
     ap.add_argument("--master", default=None,
                     help="override master (default: whatever spark-submit set)")
     ap.add_argument("--driver-memory", default=None,
@@ -77,7 +80,8 @@ def main() -> None:
     ck = CheckpointedValidation(
         spark, args.input, schema, args.out, spans_col=args.spans_col,
         files_per_unit=args.files_per_unit, run_id=args.run_id,
-        range_partitions=args.range_partitions, range_col=args.range_col)
+        range_partitions=args.range_partitions, range_col=args.range_col,
+        warm_start=not args.no_warm_start)
     report = ck.run(max_units=args.max_units)
     done = report.units_skipped + report.units_processed == report.units_total
     print(json.dumps({
