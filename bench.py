@@ -115,6 +115,23 @@ def _machine_busy_sec() -> float:
         return 0.0
 
 
+def _steal_sec() -> float:
+    """Hypervisor steal seconds (/proc/stat field 8): CPU time the HOST ran
+    someone else while our vCPUs wanted to run. This sandbox is a guest on
+    a shared host, and host-level neighbors are invisible to every
+    guest-side counter except this one — measured here: identical 6M-doc
+    runs in ONE warm JVM swung 89 -> 3,177 tree-CPU-seconds with
+    external_cores ~0, no GC growth (<0.7 s pauses) and a half-empty code
+    cache, i.e. the extra 'CPU' was our threads stalling on host-contended
+    memory plus outright vCPU preemption. Per-run steal makes that state
+    visible in the artifact instead of reading as an engine regression."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8]) / _CLK_TCK
+    except (OSError, IndexError, ValueError):
+        return 0.0
+
+
 def force(df) -> int:
     """Fully execute a plan; returns row count via a cheap count agg."""
     return df.select(F.count(F.lit(1))).collect()[0][0]
@@ -134,11 +151,13 @@ def measure_runs(fn, ext_cores_cap: float, base_runs: int = 3,
     loads: list[float] = []
     tree_cpu: list[float] = []
     ext_cores: list[float] = []
+    steal_cores: list[float] = []
     result = [None]
 
     def one():
         loads.append(round(os.getloadavg()[0], 2))
         busy0 = _machine_busy_sec()
+        steal0 = _steal_sec()
         c0 = _tree_cpu_sec()
         t0 = time.perf_counter()
         result[0] = fn()
@@ -148,6 +167,8 @@ def measure_runs(fn, ext_cores_cap: float, base_runs: int = 3,
         runs.append(round(wall, 3))
         tree_cpu.append(round(ours, 2))
         ext_cores.append(round(ext / max(wall, 1e-6), 2))
+        steal_cores.append(round((_steal_sec() - steal0) / max(wall, 1e-6),
+                                 2))
 
     for _ in range(base_runs):
         one()
@@ -155,8 +176,11 @@ def measure_runs(fn, ext_cores_cap: float, base_runs: int = 3,
     def best_contended() -> bool:
         warm = runs[1:]
         dispersed = max(warm) > 2.0 * min(warm) if len(warm) > 1 else False
-        best_ext = ext_cores[runs.index(min(runs))]
-        return dispersed or best_ext > ext_cores_cap
+        best = runs.index(min(runs))
+        # >1 stolen core-equivalent during the best run: even the
+        # published number was taken under hypervisor preemption
+        return (dispersed or ext_cores[best] > ext_cores_cap
+                or steal_cores[best] > 1.0)
 
     extra = 0
     confirmed_clean = False
@@ -165,13 +189,15 @@ def measure_runs(fn, ext_cores_cap: float, base_runs: int = 3,
         extra += 1
         # a fresh quiet run near the current best refutes the stale
         # contended history — stop early AND clear the flag
-        if runs[-1] <= 1.3 * min(runs) and ext_cores[-1] <= ext_cores_cap:
+        if (runs[-1] <= 1.3 * min(runs) and ext_cores[-1] <= ext_cores_cap
+                and steal_cores[-1] <= 1.0):
             confirmed_clean = True
             break
 
     return {
         "runs": runs, "loads": loads, "tree_cpu": tree_cpu,
-        "ext_cores": ext_cores, "result": result[0], "extra": extra,
+        "ext_cores": ext_cores, "steal_cores": steal_cores,
+        "result": result[0], "extra": extra,
         "flagged": best_contended() and not confirmed_clean,
     }
 
@@ -291,6 +317,7 @@ def _sf1_child() -> None:
         "spans_sf1_loadavg1": m["loads"],
         "spans_sf1_tree_cpu_sec": m["tree_cpu"],
         "spans_sf1_external_cores": m["ext_cores"],
+        "spans_sf1_steal_cores": m["steal_cores"],
         "spans_sf1_contention_flagged": m["flagged"],
         "spans_sf1_docs_per_sec": round(row["n"] / min(m["runs"]), 1),
     }))
@@ -350,6 +377,7 @@ def main() -> None:
         extras[f"{name}_loadavg1"] = m["loads"]
         extras[f"{name}_tree_cpu_sec"] = m["tree_cpu"]
         extras[f"{name}_external_cores"] = m["ext_cores"]
+        extras[f"{name}_steal_cores"] = m["steal_cores"]
         if m["extra"]:
             extras[f"{name}_contention_reruns"] = m["extra"]
         if m["flagged"]:
