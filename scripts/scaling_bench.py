@@ -18,7 +18,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 WORKER = r"""
-import json, statistics, sys, time
+import json, os, statistics, sys, time
 from pyspark.sql import SparkSession, functions as F
 sys.path.insert(0, %(repo)r)
 from json_schema_lean_spark.plans import validate_documents_fused
@@ -40,13 +40,30 @@ def job():
     out = validate_documents_fused(spans, SPAN_SCHEMA, keep_cols=["doc_id"])
     return out.select(F.count(F.lit(1)), F.sum(F.col("valid").cast("long")),
                       F.sum(F.size("violations").cast("long"))).collect()[0]
+def steal_sec():
+    # hypervisor steal (/proc/stat field 8): the only guest-visible trace
+    # of host neighbors, which inflate our CPU via preemption + memory
+    # contention (BENCH/BASELINE.md r5). A scaling ratio taken under
+    # steal is weather, not evidence.
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, IndexError, ValueError):
+        return 0.0
+
 r = job()  # warm-up: codegen + JIT + page cache
-times = []
+times, steals = [], []
 for _ in range(runs):
-    t0 = time.perf_counter(); job(); times.append(time.perf_counter() - t0)
+    s0 = steal_sec(); t0 = time.perf_counter()
+    job()
+    wall = time.perf_counter() - t0
+    times.append(wall)
+    steals.append(round((steal_sec() - s0) / max(wall, 1e-6), 2))
 best = min(times)
 print(json.dumps({"cores": cores, "docs": r[0], "valid": r[1], "viols": r[2],
                   "times": [round(t, 3) for t in times],
+                  "steal_cores": steals,
+                  "best_steal_cores": steals[times.index(best)],
                   "best_sec": round(best, 3),
                   "docs_per_sec": round(r[0] / best, 1)}))
 """
@@ -104,13 +121,17 @@ driver's sandbox proxy for N vs 4N executors. Timing = best of 5 steady-state
 runs after a warm-up run (codegen + JIT excluded; this matches cluster
 steady-state behavior where the plan compiles once).
 
-| parallelism | best sec | docs/sec | runs (sec) |
-|---|---|---|---|
-| local[{low}]  | {lo['best_sec']} | {lo['docs_per_sec']:,} | {lo['times']} |
-| local[{high}] | {hi['best_sec']} | {hi['docs_per_sec']:,} | {hi['times']} |
+| parallelism | best sec | docs/sec | runs (sec) | steal cores/run |
+|---|---|---|---|---|
+| local[{low}]  | {lo['best_sec']} | {lo['docs_per_sec']:,} | {lo['times']} | {lo.get('steal_cores')} |
+| local[{high}] | {hi['best_sec']} | {hi['docs_per_sec']:,} | {hi['times']} | {hi.get('steal_cores')} |
 
 - speedup {low}->{high} cores: **{speedup:.2f}x** (ideal {high//low}x)
 - **scaling efficiency: {eff:.3f}** (target >= 0.8)
+- hypervisor steal during the best runs: {lo.get('best_steal_cores')} /
+  {hi.get('best_steal_cores')} cores — a ratio taken under >1 stolen core
+  is weather, not evidence (see the r5 variance section below); re-run
+  until both best runs are clean.
 
 The reference publishes no throughput numbers (see BASELINE.md); the verdict
 gate is violation-row exactness versus the Lean semantics (pytest suite) and
