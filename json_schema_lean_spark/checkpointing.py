@@ -214,24 +214,43 @@ class CheckpointedValidation:
                 out = (out.repartitionByRange(self.range_partitions,
                                               self.range_col)
                           .sortWithinPartitions(self.range_col))
-            if obs is not None:
-                # without this, a unit whose capped output is EMPTY loses
-                # its Observation to AQE empty-relation pruning — the
-                # all-dropped case is exactly when the accounting matters
-                from .observe import preserve_observed_metrics
-                with preserve_observed_metrics(self.spark):
-                    out.write.mode("overwrite").parquet(part_path)
-            else:
-                out.write.mode("overwrite").parquet(part_path)
-            part = self.spark.read.parquet(part_path)
+            # unit metrics ride the write job as observed metrics instead
+            # of a re-read of the written part (r5: the re-read + its agg
+            # was ~40% of steady-state unit time at 1.5M rows/unit). The
+            # CollectMetrics node sits ABOVE any repartitionByRange
+            # exchange, so the range-boundary SAMPLING pass (which
+            # re-executes the child) never feeds the counters — rows are
+            # counted once, post-shuffle, during the write itself.
+            from pyspark.sql import Observation
+
+            from .observe import (
+                observed_metrics_or_none,
+                preserve_observed_metrics,
+            )
+            has_verdicts = ("valid" in out.columns
+                            and "violations" in out.columns)
             aggs = [F.count(F.lit(1)).alias("rows")]
-            has_verdicts = ("valid" in part.columns
-                            and "violations" in part.columns)
             if has_verdicts:
-                aggs += [F.sum(F.col("valid").cast("long")).alias("valid"),
-                         F.sum(F.size("violations").cast("long"))
-                          .alias("viols")]
-            m = part.agg(*aggs).collect()[0]
+                aggs += [F.coalesce(F.sum(F.col("valid").cast("long")),
+                                    F.lit(0)).alias("valid"),
+                         F.coalesce(F.sum(F.size("violations")
+                                          .cast("long")),
+                                    F.lit(0)).alias("viols")]
+            unit_obs = Observation()
+            out = out.observe(unit_obs, *aggs)
+            # the guard covers BOTH observations (unit metrics + an
+            # optional unit_fn one): an empty unit output would otherwise
+            # lose its CollectMetrics to AQE empty-relation pruning — the
+            # all-dropped case is exactly when the accounting matters
+            with preserve_observed_metrics(self.spark):
+                out.write.mode("overwrite").parquet(part_path)
+            m = observed_metrics_or_none(unit_obs)
+            if m is None:
+                # metrics lost despite the guard (defensive): fall back to
+                # the pre-r5 re-read of the committed part — correctness
+                # of the manifest beats the saved scan
+                part = self.spark.read.parquet(part_path)
+                m = part.agg(*aggs).collect()[0]
             observed_metrics = None
             if obs is not None:
                 # the write above was the observed df's one action; get is

@@ -117,6 +117,16 @@ def test_range_partitioned_output(spark, spans_path, tmp_path):
         spark.read.parquet(spans_path), SPAN_SCHEMA).collect())
     assert got == fresh
 
+    # r5: unit metrics ride the write as observed metrics; under range
+    # partitioning the boundary-sampling pass re-executes the child, so
+    # pin that the counters see each row exactly ONCE (CollectMetrics is
+    # above the exchange, the sample job runs below it)
+    entries = ck.manifest()
+    assert sum(e["rows_scanned"] for e in entries) == \
+        spark.read.parquet(spans_path).count()
+    assert sum(e["valid_rows"] for e in entries) == \
+        sum(1 for r in fresh if r[1])
+
     # per-unit: files hold disjoint, internally sorted doc_id ranges
     parts_dir = f"{out_dir}/parts"
     checked_units = 0
