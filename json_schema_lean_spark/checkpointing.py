@@ -89,7 +89,8 @@ class CheckpointedValidation:
                  range_partitions: int = 0,
                  range_col: str = "doc_id",
                  unit_fn=None,
-                 warm_start: bool = True) -> None:
+                 warm_start: bool = True,
+                 concurrent_units: int = 1) -> None:
         self.spark = spark
         self.input_path = input_path
         self.schema_json = schema_json
@@ -130,6 +131,10 @@ class CheckpointedValidation:
         # the exposure at ~2x.) Reading a real input file (not a limit()
         # of one) keeps the generated stage source identical to the units'.
         self.warm_start = warm_start
+        # concurrent_units: driver threads processing units as overlapping
+        # Spark jobs (default 1 = strictly sequential, the historical
+        # behavior). See run() for the scheduling rationale.
+        self.concurrent_units = concurrent_units
         self.validator_version = __version__
         self.schema_hash = _schema_hash(schema_json)
         os.makedirs(f"{out_dir}/manifest", exist_ok=True)
@@ -161,9 +166,12 @@ class CheckpointedValidation:
 
     # -- run -----------------------------------------------------------------
 
-    def run(self, max_units: Optional[int] = None) -> RunReport:
+    def run(self, max_units: Optional[int] = None,
+            concurrent_units: Optional[int] = None) -> RunReport:
         """Process unfinished units (up to max_units — used to simulate a
-        kill). Each unit is one distributed Spark job over its file group."""
+        kill). Each unit is one distributed Spark job over its file group;
+        ``concurrent_units`` (default: constructor value) > 1 overlaps
+        that many units as simultaneous jobs."""
         files = list_input_files(self.input_path)
         units = plan_units(files, self.files_per_unit)
         skipped = processed = rows = valid = viols = 0
@@ -180,111 +188,47 @@ class CheckpointedValidation:
                 spans_col=self.spans_col,
                 keep_cols=(self.keep_cols if self.keep_cols is not None
                            else [small_df.columns[0]]))
+        todo: list = []
         for unit_id, chunk in units:
             surrogate = _file_surrogate(chunk)
             if self._completed(unit_id, surrogate):
                 skipped += 1
                 continue
-            if max_units is not None and processed >= max_units:
+            if max_units is not None and len(todo) >= max_units:
                 break
-            t0 = time.perf_counter()
-            df = self.spark.read.parquet(*chunk)
-            obs = None
-            if self.unit_fn is not None:
-                out, obs = self.unit_fn(self.spark, df)
-            else:
-                # strategy chain (fused zero-shuffle first; r3 — was pinned
-                # to the explode strategy). keep_cols default stays "first
-                # column only": fused's own default of all columns would
-                # carry the spans arrays into every unit's output
-                keep = (self.keep_cols if self.keep_cols is not None
-                        else [df.columns[0]])
-                out = validate_spans_best(
-                    df, self.schema_json, spans_col=self.spans_col,
-                    keep_cols=keep)
-            part_path = f"{self.out_dir}/parts/{unit_id}"
-            if self.range_partitions > 0:
-                # NB: repartitionByRange samples its child to pick
-                # boundaries, so the unit validates twice — measured
-                # CHEAPER than materializing the wide verdict rows first
-                # (localCheckpoint before the shuffle was 258s vs 189s at
-                # 12.1M docs; fused validation is fast, the wide-row
-                # sort+shuffle dominates and is the inherent price of
-                # doc_id-clustered sorted output)
-                out = (out.repartitionByRange(self.range_partitions,
-                                              self.range_col)
-                          .sortWithinPartitions(self.range_col))
-            # unit metrics ride the write job as observed metrics instead
-            # of a re-read of the written part (r5: the re-read + its agg
-            # was ~40% of steady-state unit time at 1.5M rows/unit). The
-            # CollectMetrics node sits ABOVE any repartitionByRange
-            # exchange, so the range-boundary SAMPLING pass (which
-            # re-executes the child) never feeds the counters — rows are
-            # counted once, post-shuffle, during the write itself.
-            from pyspark.sql import Observation
-
-            from .observe import (
-                observed_metrics_or_none,
-                preserve_observed_metrics,
-            )
-            has_verdicts = ("valid" in out.columns
-                            and "violations" in out.columns)
-            aggs = [F.count(F.lit(1)).alias("rows")]
-            if has_verdicts:
-                aggs += [F.coalesce(F.sum(F.col("valid").cast("long")),
-                                    F.lit(0)).alias("valid"),
-                         F.coalesce(F.sum(F.size("violations")
-                                          .cast("long")),
-                                    F.lit(0)).alias("viols")]
-            unit_obs = Observation()
-            out = out.observe(unit_obs, *aggs)
-            # the guard covers BOTH observations (unit metrics + an
-            # optional unit_fn one): an empty unit output would otherwise
-            # lose its CollectMetrics to AQE empty-relation pruning — the
-            # all-dropped case is exactly when the accounting matters
-            with preserve_observed_metrics(self.spark):
-                out.write.mode("overwrite").parquet(part_path)
-            m = observed_metrics_or_none(unit_obs)
-            if m is None:
-                # metrics lost despite the guard (defensive): fall back to
-                # the pre-r5 re-read of the committed part — correctness
-                # of the manifest beats the saved scan
-                part = self.spark.read.parquet(part_path)
-                m = part.agg(*aggs).collect()[0]
-            observed_metrics = None
-            if obs is not None:
-                # the write above was the observed df's one action; get is
-                # now a local dict (no extra job)
-                from .observe import observed_metrics_or_none
-                got = observed_metrics_or_none(obs)
-                observed_metrics = None if got is None else {
-                    k: (v if isinstance(v, (int, float, bool, str))
-                        else str(v))
-                    for k, v in got.items()}
-            self._commit(unit_id, {
-                "run_id": self.run_id,
-                "unit_id": unit_id,
-                "input_files": chunk,
-                "input_surrogate": surrogate,
-                "partition_spec": (
-                    f"files[{self.files_per_unit}]"
-                    + (f"/range({self.range_col},{self.range_partitions})"
-                       if self.range_partitions > 0 else "")),
-                "validator_version": self.validator_version,
-                "schema_hash": self.schema_hash,
-                "rows_scanned": m["rows"],
-                "valid_rows": m["valid"] if has_verdicts else None,
-                "violations": m["viols"] if has_verdicts else None,
-                "observed_metrics": observed_metrics,
-                "stage_sec": round(time.perf_counter() - t0, 3),
-            })
+            todo.append((unit_id, chunk, surrogate))
+        conc = (concurrent_units if concurrent_units is not None
+                else self.concurrent_units)
+        if conc <= 1 or len(todo) <= 1:
+            entries = [self._process_unit(*t) for t in todo]
+        else:
+            # driver threads submit units as overlapping Spark jobs: the
+            # scheduler backfills idle cores of one unit's write/commit
+            # tail with the next unit's scan tasks. On a real cluster this
+            # is the difference between a 1000-executor cluster idling
+            # during each unit's driver-side commit and it staying fed;
+            # manifest commits are per-unit atomic files, part dirs are
+            # disjoint, and the AQE observation guard is refcounted, so
+            # interleaving is safe. Unit order within the manifest is by
+            # unit id either way. Measured (12.1M docs, 16 units,
+            # local[32]): 3 concurrent units 27.9 s vs 35.1 s sequential.
+            # SIZE THE HEAP for the overlap: N concurrent units hold ~N
+            # units' worth of scan batches + write buffers at once — the
+            # same 12.1M run OOMs at Spark's default driver memory with
+            # concurrency 3 while running fine sequentially (16g is
+            # comfortable; on a cluster this is executor memory).
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=conc) as pool:
+                entries = list(pool.map(
+                    lambda t: self._process_unit(*t), todo))
+        for entry in entries:
             processed += 1
-            rows += m["rows"]
-            if has_verdicts:
-                valid += m["valid"]
-                viols += m["viols"]
-            if observed_metrics:
-                for k, v in observed_metrics.items():
+            rows += entry["rows_scanned"]
+            if entry["valid_rows"] is not None:
+                valid += entry["valid_rows"]
+                viols += entry["violations"]
+            if entry["observed_metrics"]:
+                for k, v in entry["observed_metrics"].items():
                     if isinstance(v, (int, float)) \
                             and not isinstance(v, bool):
                         if k.startswith("max_"):
@@ -294,6 +238,104 @@ class CheckpointedValidation:
         return RunReport(self.run_id, len(units), skipped, processed,
                          rows, valid, viols, observed or None,
                          warmup_sec)
+
+    def _process_unit(self, unit_id: str, chunk: list,
+                      surrogate: str) -> dict:
+        """Validate + commit ONE unit; returns its manifest entry. Safe to
+        call from several driver threads (concurrent_units>1): every
+        side effect is unit-scoped (part dir, manifest file)."""
+        t0 = time.perf_counter()
+        df = self.spark.read.parquet(*chunk)
+        obs = None
+        if self.unit_fn is not None:
+            out, obs = self.unit_fn(self.spark, df)
+        else:
+            # strategy chain (fused zero-shuffle first; r3 — was pinned
+            # to the explode strategy). keep_cols default stays "first
+            # column only": fused's own default of all columns would
+            # carry the spans arrays into every unit's output
+            keep = (self.keep_cols if self.keep_cols is not None
+                    else [df.columns[0]])
+            out = validate_spans_best(
+                df, self.schema_json, spans_col=self.spans_col,
+                keep_cols=keep)
+        part_path = f"{self.out_dir}/parts/{unit_id}"
+        if self.range_partitions > 0:
+            # NB: repartitionByRange samples its child to pick
+            # boundaries, so the unit validates twice — measured
+            # CHEAPER than materializing the wide verdict rows first
+            # (localCheckpoint before the shuffle was 258s vs 189s at
+            # 12.1M docs; fused validation is fast, the wide-row
+            # sort+shuffle dominates and is the inherent price of
+            # doc_id-clustered sorted output)
+            out = (out.repartitionByRange(self.range_partitions,
+                                          self.range_col)
+                      .sortWithinPartitions(self.range_col))
+        # unit metrics ride the write job as observed metrics instead
+        # of a re-read of the written part (r5: the re-read + its agg
+        # was ~40% of steady-state unit time at 1.5M rows/unit). The
+        # CollectMetrics node sits ABOVE any repartitionByRange
+        # exchange, so the range-boundary SAMPLING pass (which
+        # re-executes the child) never feeds the counters — rows are
+        # counted once, post-shuffle, during the write itself.
+        from pyspark.sql import Observation
+
+        from .observe import (
+            observed_metrics_or_none,
+            preserve_observed_metrics,
+        )
+        has_verdicts = ("valid" in out.columns
+                        and "violations" in out.columns)
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        if has_verdicts:
+            aggs += [F.coalesce(F.sum(F.col("valid").cast("long")),
+                                F.lit(0)).alias("valid"),
+                     F.coalesce(F.sum(F.size("violations")
+                                      .cast("long")),
+                                F.lit(0)).alias("viols")]
+        unit_obs = Observation()
+        out = out.observe(unit_obs, *aggs)
+        # the guard covers BOTH observations (unit metrics + an
+        # optional unit_fn one): an empty unit output would otherwise
+        # lose its CollectMetrics to AQE empty-relation pruning — the
+        # all-dropped case is exactly when the accounting matters
+        with preserve_observed_metrics(self.spark):
+            out.write.mode("overwrite").parquet(part_path)
+        m = observed_metrics_or_none(unit_obs)
+        if m is None:
+            # metrics lost despite the guard (defensive): fall back to
+            # the pre-r5 re-read of the committed part — correctness
+            # of the manifest beats the saved scan
+            part = self.spark.read.parquet(part_path)
+            m = part.agg(*aggs).collect()[0]
+        observed_metrics = None
+        if obs is not None:
+            # the write above was the observed df's one action; get is
+            # now a local dict (no extra job)
+            got = observed_metrics_or_none(obs)
+            observed_metrics = None if got is None else {
+                k: (v if isinstance(v, (int, float, bool, str))
+                    else str(v))
+                for k, v in got.items()}
+        entry = {
+            "run_id": self.run_id,
+            "unit_id": unit_id,
+            "input_files": chunk,
+            "input_surrogate": surrogate,
+            "partition_spec": (
+                f"files[{self.files_per_unit}]"
+                + (f"/range({self.range_col},{self.range_partitions})"
+                   if self.range_partitions > 0 else "")),
+            "validator_version": self.validator_version,
+            "schema_hash": self.schema_hash,
+            "rows_scanned": m["rows"],
+            "valid_rows": m["valid"] if has_verdicts else None,
+            "violations": m["viols"] if has_verdicts else None,
+            "observed_metrics": observed_metrics,
+            "stage_sec": round(time.perf_counter() - t0, 3),
+        }
+        self._commit(unit_id, entry)
+        return entry
 
     def results(self) -> DataFrame:
         """Combined output of the CURRENT unit plan only. Parts directories

@@ -22,25 +22,47 @@ that produced it.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 _RULE = "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
 _KEY = "spark.sql.adaptive.optimizer.excludedRules"
 
+# the guard flips a SESSION-scoped conf, so overlapping uses from several
+# driver threads (e.g. CheckpointedValidation concurrent_units>1) must
+# refcount: only the outermost enter saves+sets, only the last exit
+# restores — otherwise thread A's exit re-enables the rule mid-write of
+# thread B. Keyed per session; while any guard is active, unrelated
+# queries on the session also skip the one AQE rule (a missed empty-branch
+# shortcut, never a correctness change).
+_guard_lock = threading.Lock()
+_guard_state: dict[int, list] = {}  # id(session) -> [depth, prev_value]
+
 
 @contextmanager
 def preserve_observed_metrics(spark):
     """Context manager: actions executed inside keep their Observation
-    metrics even when the observed query's result is empty under AQE."""
-    prev = spark.conf.get(_KEY, None)
-    spark.conf.set(_KEY, f"{prev},{_RULE}" if prev else _RULE)
+    metrics even when the observed query's result is empty under AQE.
+    Reentrant and thread-safe per session."""
+    key = id(spark)
+    with _guard_lock:
+        state = _guard_state.get(key)
+        if state is None:
+            prev = spark.conf.get(_KEY, None)
+            spark.conf.set(_KEY, f"{prev},{_RULE}" if prev else _RULE)
+            state = _guard_state[key] = [0, prev]
+        state[0] += 1
     try:
         yield
     finally:
-        if prev is None:
-            spark.conf.unset(_KEY)
-        else:
-            spark.conf.set(_KEY, prev)
+        with _guard_lock:
+            state[0] -= 1
+            if state[0] == 0:
+                del _guard_state[key]
+                if state[1] is None:
+                    spark.conf.unset(_KEY)
+                else:
+                    spark.conf.set(_KEY, state[1])
 
 
 def observed_metrics_or_none(obs) -> dict | None:

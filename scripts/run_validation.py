@@ -44,6 +44,11 @@ def main() -> None:
                     help="if >0, commit each unit repartitionByRange(doc_id) "
                          "into this many doc_id-disjoint, sorted output files")
     ap.add_argument("--range-col", default="doc_id")
+    ap.add_argument("--concurrent-units", type=int, default=1,
+                    help="driver threads processing units as overlapping "
+                         "Spark jobs (default 1 = sequential); keeps the "
+                         "cluster fed through each unit's write tail and "
+                         "driver-side commit")
     ap.add_argument("--no-warm-start", action="store_true",
                     help="skip the pre-unit JIT warm-up pass (default: warm "
                          "on the smallest input file when units are pending)")
@@ -81,7 +86,8 @@ def main() -> None:
         spark, args.input, schema, args.out, spans_col=args.spans_col,
         files_per_unit=args.files_per_unit, run_id=args.run_id,
         range_partitions=args.range_partitions, range_col=args.range_col,
-        warm_start=not args.no_warm_start)
+        warm_start=not args.no_warm_start,
+        concurrent_units=args.concurrent_units)
     report = ck.run(max_units=args.max_units)
     done = report.units_skipped + report.units_processed == report.units_total
     print(json.dumps({

@@ -295,3 +295,32 @@ def test_warm_start_reported_and_neutral(spark, spans_path, tmp_path):
     rb = cold.run()
     assert rb.warmup_sec == 0.0 and rb.units_processed == r1.units_processed
     assert canon(ck.results().collect()) == canon(cold.results().collect())
+
+
+def test_concurrent_units_identical(spark, spans_path, tmp_path):
+    """concurrent_units>1 overlaps units as simultaneous Spark jobs; the
+    combined output, manifest totals, and resume behavior must be
+    identical to the sequential run (side effects are unit-scoped and the
+    AQE observation guard is refcounted across driver threads)."""
+    seq_dir = str(tmp_path / "seq")
+    CheckpointedValidation(spark, spans_path, SPAN_SCHEMA, seq_dir,
+                           files_per_unit=2, warm_start=False).run()
+    con_dir = str(tmp_path / "con")
+    ck = CheckpointedValidation(spark, spans_path, SPAN_SCHEMA, con_dir,
+                                files_per_unit=2, warm_start=False,
+                                concurrent_units=4)
+    r = ck.run()
+    assert r.units_processed == r.units_total > 1
+    assert canon(ck.results().collect()) == canon(
+        CheckpointedValidation(spark, spans_path, SPAN_SCHEMA, seq_dir,
+                               files_per_unit=2).results().collect())
+    # manifest totals match the input
+    entries = ck.manifest()
+    assert sum(e["rows_scanned"] for e in entries) == \
+        spark.read.parquet(spans_path).count()
+    # AQE guard fully restored after the threaded run
+    assert spark.conf.get("spark.sql.adaptive.optimizer.excludedRules",
+                          None) is None
+    # resume over a concurrent run: everything already committed
+    r2 = ck.run()
+    assert r2.units_processed == 0 and r2.units_skipped == r.units_total
