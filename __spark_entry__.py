@@ -194,6 +194,18 @@ def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_banded(emb, queries, dim=64, k=5)
 
 
+def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the deterministic fixed-centroid coarse quantizer
+    (integer-quantized assignment/probing — bit-exact vs the DuckDB
+    oracle); the k-means IVF variant shares the probe/scoring plan but
+    its centroids are only reproducible by pyspark.ml."""
+    from json_schema_lean_spark.operators.similarity import ivf_topk_fixed
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk_fixed(emb, queries, k=5, nprobe=4,
+                          centroid_pred=F.col("vec_id") < 16)
+
+
 def _q_embedding_uniqueitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = validate_dataframe(
@@ -744,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_percentiles": _q_event_value_percentiles,
         "suppliers_per_region": _q_suppliers_per_region,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "events_props_violations": _q_events_props_violations,
         "suite_conformance": _q_suite_conformance,  # rows-only; 0 rows = pass
         "suite_conformance_variant": _q_suite_conformance_variant,    # JVM path
@@ -777,6 +790,14 @@ _VALID_DOC_EXPR = """
     AND (source IS NULL OR regexp_matches(source, '^src[0-9]+$'))
     AND (n_chars IS NULL OR (n_chars >= 0 AND n_chars <= 400))
 """
+
+
+def _ivf_topk_oracle() -> str:
+    from json_schema_lean_spark.operators.similarity import (
+        ivf_topk_fixed_oracle_sql,
+    )
+    return ivf_topk_fixed_oracle_sql("embeddings", "vec_id < 5",
+                                     "vec_id < 16", k=5, nprobe=4)
 
 
 def _lsh_topk_oracle() -> str:
@@ -1264,6 +1285,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dups": _lsh_near_dup_oracle(),
         "ann_topk_lsh": _lsh_topk_oracle(),
+        "ann_topk_ivf": _ivf_topk_oracle(),
         "suppliers_per_region": """
             SELECT r.r_name,
                    count(*)::BIGINT AS n_suppliers,

@@ -53,6 +53,143 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   .select("query_id", "neighbor_id", "rank"))
 
 
+def ivf_topk_fixed(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   nprobe: int = 4, centroid_pred: Column = None,
+                   quant: int = 1000,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """IVF top-k with a DETERMINISTIC coarse quantizer: designated corpus
+    rows (``centroid_pred``, e.g. ``col("vec_id") < 16``) ARE the
+    centroids, and all centroid distances use integer-quantized vectors
+    (``floor(x*quant)`` per element) so cluster assignment and probe
+    selection are bit-exact across engines — a SQL oracle reproduces them
+    with integer arithmetic (:func:`ivf_topk_fixed_oracle_sql`), unlike
+    the k-means variant (:func:`ivf_index`/:func:`ivf_topk`), whose
+    centroids only pyspark.ml can regenerate. Final scoring matches
+    brute_force_topk: full-precision cosine on the original doubles,
+    ties on neighbor id.
+
+    Scale shape: the centroid set is driver-collected literals (bounded by
+    construction — 16 rows of dim doubles), assignment is a zero-shuffle
+    projection over the corpus, the probe join keys on cluster id with
+    queries broadcast, and only ~nprobe/n_centroids of the corpus is ever
+    scored — the 100 TB alternative to the brute-force cross product with
+    none of the k-means training cost."""
+    if centroid_pred is None:
+        centroid_pred = F.col(id_col) < 16
+    cent_rows = (corpus.where(centroid_pred)
+                       .select(id_col, F.col(vec_col).cast("array<double>"))
+                       .orderBy(id_col).collect())
+    if not cent_rows:
+        raise ValueError("centroid_pred selected no corpus rows")
+    import math
+    cent_ints = [[int(math.floor(x * quant)) for x in r[1]]
+                 for r in cent_rows]
+
+    def quantized(vec: Column) -> Column:
+        return F.transform(vec, lambda x: F.floor(x * quant).cast("long"))
+
+    def nearest(vec_int: Column, n: int) -> Column:
+        # integer squared distance to every centroid; ties break on
+        # centroid index (array_sort on struct(d, c) is lexicographic)
+        pairs = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(vec_int,
+                               F.array(*[F.lit(x).cast("long") for x in c]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"), lambda acc, v: acc + v
+                ).alias("d"),
+                F.lit(ci).cast("int").alias("c"))
+            for ci, c in enumerate(cent_ints)])
+        return F.transform(F.slice(F.array_sort(pairs), 1, n),
+                           lambda s: s.getField("c"))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"))
+    c = c.withColumn("_probe",
+                     nearest(quantized(F.col("c_vec")), 1)[0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"))
+    q = q.withColumn("_probe", F.explode(
+        nearest(quantized(F.col("q_vec")), nprobe)))
+    scored = (c.join(F.broadcast(q), "_probe")
+               .where(F.col("neighbor_id") != F.col("query_id"))
+               .select("query_id", "neighbor_id",
+                       cosine(F.col("c_vec"), F.col("q_vec"))
+                        .alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "rank"))
+
+
+def ivf_topk_fixed_oracle_sql(table: str, query_pred: str,
+                              centroid_pred: str, k: int = 5,
+                              nprobe: int = 4, quant: int = 1000,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> str:
+    """DuckDB replica of :func:`ivf_topk_fixed`: the centroid set, the
+    integer quantization, the squared-distance assignment (ties on
+    centroid index), the nprobe probe set, and the final cosine ranking
+    are all recomputed FROM THE TABLE — no Spark-produced values leak
+    into the oracle. Integer distances make assignment/probing bit-exact;
+    the cosine ranking matches the already-proven ann_topk technique."""
+    return f"""
+        WITH qe AS (
+            SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v,
+                   list_transform({vec_col}::DOUBLE[],
+                                  x -> CAST(floor(x * {quant}) AS BIGINT))
+                       AS vi
+            FROM {table}),
+        cent AS (
+            SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, vi AS ci
+            FROM qe
+            WHERE vid IN (SELECT {id_col} FROM {table}
+                          WHERE {centroid_pred})),
+        dist AS (
+            SELECT e.vid, c.cid,
+                   list_sum(list_transform(range(1, len(e.vi) + 1),
+                            i -> (e.vi[i] - c.ci[i]) * (e.vi[i] - c.ci[i])))
+                       AS d
+            FROM qe e, cent c),
+        assigned AS (
+            SELECT vid, cid AS cluster FROM (
+                SELECT vid, cid,
+                       row_number() OVER (PARTITION BY vid
+                                          ORDER BY d, cid) AS rk
+                FROM dist)
+            WHERE rk = 1),
+        probes AS (
+            SELECT vid AS query_id, cid AS cluster FROM (
+                SELECT vid, cid,
+                       row_number() OVER (PARTITION BY vid
+                                          ORDER BY d, cid) AS rk
+                FROM dist
+                WHERE vid IN (SELECT {id_col} FROM {table}
+                              WHERE {query_pred}))
+            WHERE rk <= {nprobe}),
+        scored AS (
+            SELECT p.query_id, a.vid AS neighbor_id,
+                   list_cosine_similarity(ec.v, eq.v) AS score
+            FROM probes p
+            JOIN assigned a ON a.cluster = p.cluster
+                           AND a.vid != p.query_id
+            JOIN qe ec ON ec.vid = a.vid
+            JOIN qe eq ON eq.vid = p.query_id)
+        SELECT query_id, neighbor_id, rk AS rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC,
+                                               neighbor_id ASC) AS rk
+            FROM scored)
+        WHERE rk <= {k}
+    """
+
+
 def ivf_index(corpus: DataFrame, n_centroids: int = 16, seed: int = 42,
               id_col: str = "vec_id", vec_col: str = "embedding",
               sample_fraction: float = 1.0):

