@@ -324,3 +324,18 @@ def test_concurrent_units_identical(spark, spans_path, tmp_path):
     # resume over a concurrent run: everything already committed
     r2 = ck.run()
     assert r2.units_processed == 0 and r2.units_skipped == r.units_total
+
+
+def test_concurrent_units_with_range_partitions(spark, spans_path, tmp_path):
+    """Concurrency x range partitioning: each overlapped unit runs its own
+    repartitionByRange (boundary-sampling job + shuffle + sorted write);
+    totals and per-file sortedness must hold exactly as sequentially."""
+    out_dir = str(tmp_path / "con_rp")
+    ck = CheckpointedValidation(spark, spans_path, SPAN_SCHEMA, out_dir,
+                                files_per_unit=2, range_partitions=2,
+                                warm_start=False, concurrent_units=4)
+    ck.run()
+    assert canon(ck.results().collect()) == canon(validate_documents_exploded(
+        spark.read.parquet(spans_path), SPAN_SCHEMA).collect())
+    assert sum(e["rows_scanned"] for e in ck.manifest()) == \
+        spark.read.parquet(spans_path).count()
