@@ -368,7 +368,10 @@ def main() -> None:
     # REST of the machine burned during the run, in average cores.
     ext_cores_cap = max(2.0, 0.15 * (os.cpu_count() or cpus))
 
+    query_fns: dict = {}
+
     def bench(name: str, fn, max_extra: int = 3) -> None:
+        query_fns[name] = fn
         m = measure_runs(fn, ext_cores_cap, max_extra=max_extra)
         timings[name] = round(min(m["runs"]), 3)
         cold[name] = m["runs"][0]
@@ -434,6 +437,30 @@ def main() -> None:
 
     bench("ref_integrity", lambda: force(
         span_media_integrity(spans, asset_catalog(spark))))
+
+    # end-of-bench weather retry (r5): a flagged query exhausted its
+    # re-runs inside ONE bad window (host steal / bandwidth pressure —
+    # see BENCH/BASELINE.md), but the bench spans minutes and the weather
+    # often clears; one more short measurement per flagged query either
+    # publishes a CLEAN number (and unflags it, recording why) or leaves
+    # the flag standing with the retry telemetry beside it.
+    for name in list(flagged):
+        if name not in query_fns:
+            continue
+        m = measure_runs(query_fns[name], ext_cores_cap, base_runs=2,
+                         max_extra=1)
+        extras[f"{name}_retry_runs_sec"] = m["runs"]
+        extras[f"{name}_retry_steal_cores"] = m["steal_cores"]
+        best = round(min(m["runs"]), 3)
+        timings[name] = min(timings[name], best)
+        # unflag only when the clean retry CONFIRMS the published best
+        # (within 1.3x) — clean-but-much-slower leaves the flag standing,
+        # since the earlier best then has no corroboration
+        if not m["flagged"] and best <= 1.3 * timings[name]:
+            flagged.remove(name)
+            extras[f"{name}_weather_cleared"] = True
+    extras["docs_per_sec"] = round(extras["spans_docs"]
+                                   / timings["spans_validate"], 1)
 
     # sf1 steady-state point (verdict r3 #5): at sf0.1 the headline is
     # dominated by fixed per-job cost; a 6M-doc spans_validate run shows the
