@@ -202,6 +202,20 @@ def measure_runs(fn, ext_cores_cap: float, base_runs: int = 3,
     }
 
 
+def retry_decision(prev_best: float, m: dict) -> tuple[float, bool]:
+    """End-of-bench weather-retry policy (pure, unit-tested): given the
+    previously published best and a fresh short measurement, return the
+    new published best and whether to clear the contention flag. Unflag
+    only when the CLEAN retry corroborates the published number — either
+    it sets the new best itself, or it lands within 1.3x of it; a retry
+    that is clean but much slower leaves the flag standing, since the
+    earlier (contended) best then has no corroboration, and a retry that
+    is itself flagged never clears anything."""
+    best = round(min(m["runs"]), 3)
+    new_best = min(prev_best, best)
+    return new_best, (not m["flagged"]) and best <= 1.3 * new_best
+
+
 def _ensure_spans_dataset(spark, path: str, n_docs: int,
                           partitions: int) -> None:
     """Generate the spans parquet at ``path`` unless a COMPLETE copy exists.
@@ -451,12 +465,8 @@ def main() -> None:
                          max_extra=1)
         extras[f"{name}_retry_runs_sec"] = m["runs"]
         extras[f"{name}_retry_steal_cores"] = m["steal_cores"]
-        best = round(min(m["runs"]), 3)
-        timings[name] = min(timings[name], best)
-        # unflag only when the clean retry CONFIRMS the published best
-        # (within 1.3x) — clean-but-much-slower leaves the flag standing,
-        # since the earlier best then has no corroboration
-        if not m["flagged"] and best <= 1.3 * timings[name]:
+        timings[name], unflag = retry_decision(timings[name], m)
+        if unflag:
             flagged.remove(name)
             extras[f"{name}_weather_cleared"] = True
     extras["docs_per_sec"] = round(extras["spans_docs"]

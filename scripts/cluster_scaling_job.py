@@ -36,6 +36,13 @@ def steal_sec() -> float:
         return 0.0
 
 
+def _executor_count(sc) -> int:
+    try:
+        return sc._jsc.sc().getExecutorMemoryStatus().size() - 1
+    except Exception:
+        return -1
+
+
 def main() -> None:
     path, runs = sys.argv[1], int(sys.argv[2])
     spark = SparkSession.builder.getOrCreate()
@@ -64,7 +71,8 @@ def main() -> None:
     sc = spark.sparkContext
     print(json.dumps({
         "master": sc.master,
-        "executors": sc.getConf().get("spark.executor.instances", "?"),
+        # block-manager count minus the driver = live executor JVMs
+        "executors": _executor_count(sc),
         "default_parallelism": sc.defaultParallelism,
         "engine_zip_import": "engine.zip" in (
             __import__("json_schema_lean_spark").__file__ or ""),
