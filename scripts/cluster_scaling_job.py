@@ -60,13 +60,25 @@ def main() -> None:
 
     r = job()  # warm-up: codegen + JIT on every executor
     times, steals = [], []
-    for _ in range(runs):
+
+    def one():
         s0 = steal_sec()
         t0 = time.perf_counter()
         job()
         wall = time.perf_counter() - t0
         times.append(round(wall, 3))
         steals.append(round((steal_sec() - s0) / max(wall, 1e-6), 2))
+
+    for _ in range(runs):
+        one()
+    # steady-state convergence: a fixed run count understates the slow
+    # (low-parallelism) side — its minutes of C2 ramp span several runs
+    # and a still-improving series fakes super-linear scaling (measured:
+    # a monotone 22.7->19.3 five-run series produced "efficiency 1.06").
+    # Keep running until the best stops improving >2% vs the best among
+    # the previous runs, capped at 3x the requested count.
+    while len(times) < runs * 3 and min(times[-2:]) < 0.98 * min(times[:-2]):
+        one()
     best = min(times)
     sc = spark.sparkContext
     print(json.dumps({
