@@ -36,6 +36,17 @@ def steal_sec() -> float:
         return 0.0
 
 
+def needs_more_runs(times: list, cap: int) -> bool:
+    """Steady-state convergence rule (pure, unit-tested): a fixed run
+    count understates the slow (low-parallelism) side — its minutes of
+    C2 ramp span several runs, and a still-improving series fakes
+    super-linear scaling (measured: a monotone 22.7->19.3 five-run
+    1-executor series produced "efficiency 1.06"). Keep running while
+    either of the last two runs still improved >2% on the best of the
+    earlier runs, capped at ``cap`` total runs."""
+    return len(times) < cap and min(times[-2:]) < 0.98 * min(times[:-2])
+
+
 def _executor_count(sc) -> int:
     try:
         return sc._jsc.sc().getExecutorMemoryStatus().size() - 1
@@ -71,13 +82,7 @@ def main() -> None:
 
     for _ in range(runs):
         one()
-    # steady-state convergence: a fixed run count understates the slow
-    # (low-parallelism) side — its minutes of C2 ramp span several runs
-    # and a still-improving series fakes super-linear scaling (measured:
-    # a monotone 22.7->19.3 five-run series produced "efficiency 1.06").
-    # Keep running until the best stops improving >2% vs the best among
-    # the previous runs, capped at 3x the requested count.
-    while len(times) < runs * 3 and min(times[-2:]) < 0.98 * min(times[:-2]):
+    while needs_more_runs(times, cap=runs * 3):
         one()
     best = min(times)
     sc = spark.sparkContext

@@ -39,3 +39,23 @@ def test_flagged_retry_never_unflags_even_if_faster():
 def test_rounding_matches_published_precision():
     best, unflag = retry_decision(0.9, _m([0.89961], flagged=False))
     assert best == 0.9 and unflag
+
+
+from scripts.cluster_scaling_job import needs_more_runs  # noqa: E402
+
+
+def test_converged_series_stops():
+    assert not needs_more_runs([17.5, 16.6, 17.3, 16.6, 16.55], cap=15)
+
+
+def test_still_improving_series_continues():
+    assert needs_more_runs([22.7, 22.1, 22.0, 20.4, 19.3], cap=15)
+
+
+def test_cap_halts_even_when_improving():
+    assert not needs_more_runs([10.0, 9.0, 8.0, 7.0, 6.0], cap=5)
+
+
+def test_late_single_improvement_extends():
+    # only ONE of the last two needs to beat the earlier best by >2%
+    assert needs_more_runs([10.0, 10.1, 10.2, 10.1, 9.7], cap=15)
