@@ -141,6 +141,33 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsample (operators/packing.py):
+    hash-of-key selection, engine-portable — the oracle reproduces the
+    exact row set, not just counts. Plan: single Filter, no shuffle."""
+    from json_schema_lean_spark.operators.packing import stratified_sample
+    d = _docs(spark, sf_dir)
+    return stratified_sample(
+        d, "doc_id", "lang",
+        {"en": 0.5, "zh": 0.8, "es": 0.25}, default=0.1,
+    ).select("doc_id", "lang")
+
+
+def _q_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/packing.py): bucketed
+    greedy first-fit-with-overflow, one shuffle on the uniform bucket
+    key, per-bucket window cumsum (no global single-task window). The
+    oracle replays hash-bucketing + cumsum + DIV in SQL, so batch
+    membership is value-checked, not just counted."""
+    from json_schema_lean_spark.operators.packing import (
+        batch_summary, pack_documents)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens"))
+    packed = pack_documents(d, "doc_id", "n_tokens", budget=512,
+                            n_buckets=16)
+    return batch_summary(packed, "n_tokens")
+
+
 def _q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
@@ -734,6 +761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "quality_ratios": _q_quality_ratios,
         "fingerprints": _q_fingerprints,
+        "stratified_sample": _q_stratified_sample,  # portable hash: full oracle
+        "pack_batches": _q_pack_batches,    # bucketed packing: full oracle
         "q1_pricing": _q_q1_pricing,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "ann_topk": _q_ann_topk,
@@ -1165,6 +1194,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
             FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || '#sample'), 1, 15))
+                       AS BIGINT) % 1000000 <
+                  CASE lang WHEN 'en' THEN 500000
+                            WHEN 'zh' THEN 800000
+                            WHEN 'es' THEN 250000
+                            ELSE 100000 END
+        """,
+        "pack_batches": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE length(string_split_regex(trim(text), '\\s+'))
+                       END::BIGINT AS n_tokens,
+                       CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                            AS BIGINT) % 16 AS bucket
+                FROM documents
+            ), c AS (
+                SELECT bucket, doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY bucket ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cum
+                FROM t
+            )
+            SELECT bucket, (cum // 512)::BIGINT AS batch_id,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM(n_tokens)::BIGINT AS batch_tokens
+            FROM c
+            GROUP BY bucket, (cum // 512)::BIGINT
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

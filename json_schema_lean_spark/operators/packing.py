@@ -1,0 +1,101 @@
+"""Training-batch assembly operators: deterministic sampling and
+token-budget sequence packing.
+
+Two staples of an LLM data pipeline that sit downstream of validation +
+dedup (reference scope note: json-schema-lean stops at verdicts —
+Harness/Command.lean drives validation only — so these are pipeline
+extensions like dedup/similarity, not ports):
+
+- *deterministic sampling*: reproducible subsets chosen by a hash of the
+  row key, NOT by an RNG — the same row set is selected on any engine,
+  any partitioning, any executor count, and re-runs are idempotent
+  (resume-safe under the checkpoint harness). Spark's ``sample()`` /
+  ``sampleBy()`` are seed-based and partition-sensitive, which silently
+  reshuffles the training set when the cluster layout changes.
+- *sequence packing*: assign documents to fixed token-budget batches.
+  The classic greedy first-fit is inherently sequential, so at 100 TB it
+  is computed per hash-bucket: shuffle on a uniform bucket key, one
+  window cumsum per bucket (no global single-task window), batch index =
+  exclusive-cumsum DIV budget. A batch may overshoot the budget by at
+  most one document (first-fit-with-overflow semantics, documented) and
+  batches never cross buckets, so every batch is computable from its
+  bucket alone.
+
+Both are pure Column/Window expressions over the engine-portable
+md5-based hash (:func:`~json_schema_lean_spark.operators.dedup.portable_hash64`),
+so both are value-level DuckDB-oracle-able — see ``stratified_sample``
+and ``pack_batches`` in ``__spark_entry__.py``.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .dedup import portable_hash64
+
+# hash-fraction denominator: fractions are quantized to millionths so the
+# Spark predicate and the SQL oracle compare the SAME integer literals
+_DENOM = 1_000_000
+
+
+def _keep_predicate(key: Column, fraction_millionths: Column,
+                    salt: str) -> Column:
+    h = F.pmod(portable_hash64(key.cast("string"), salt), F.lit(_DENOM))
+    return h < fraction_millionths
+
+
+def deterministic_sample(df: DataFrame, key_col: str, fraction: float,
+                         salt: str = "#sample") -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by hash(key) — reproducible
+    across engines, partitionings and re-runs. Plan: a single Filter,
+    no shuffle, predicate evaluated map-side next to the scan."""
+    frac = F.lit(int(round(fraction * _DENOM)))
+    return df.where(_keep_predicate(F.col(key_col), frac, salt))
+
+
+def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
+                      fractions: dict[str, float], default: float = 0.0,
+                      salt: str = "#sample") -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum value gets its
+    own keep-fraction (e.g. downsample dominant languages, keep all of
+    rare ones). Same single-Filter no-shuffle plan as
+    :func:`deterministic_sample`; the stratum only selects the
+    threshold, so skewed strata cost nothing extra."""
+    thresh = F.lit(int(round(default * _DENOM)))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == value,
+                        F.lit(int(round(frac * _DENOM)))).otherwise(thresh)
+    return df.where(_keep_predicate(F.col(key_col), thresh, salt))
+
+
+def pack_documents(df: DataFrame, id_col: str, token_col: str,
+                   budget: int, n_buckets: int = 64) -> DataFrame:
+    """Assign every row a ``(bucket, batch_id)`` packing key: rows are
+    hash-bucketed on ``id_col`` (uniform, deterministic), ordered by id
+    within the bucket, and batched greedily — a row joins the current
+    batch while the batch's exclusive token cumsum stays under
+    ``budget`` (so one batch can overshoot by at most its last row).
+
+    Scale: ONE shuffle on the uniform bucket key; each window cumsum
+    task handles ~n/n_buckets rows — size ``n_buckets`` to the
+    parallelism, there is no global ordering and no single-task window.
+    Deterministic across engines/partitionings (portable hash + total
+    per-bucket order), so resume-safe and DuckDB-oracle-able."""
+    bucket = F.pmod(portable_hash64(F.col(id_col).cast("string")),
+                    F.lit(n_buckets))
+    out = df.withColumn("bucket", bucket)
+    w = (Window.partitionBy("bucket").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_excl = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    # exclusive-cumsum DIV budget: integer arithmetic end-to-end so the
+    # oracle comparison can never hit a float rounding edge
+    return out.withColumn(
+        "batch_id", (cum_excl / F.lit(budget)).cast("bigint"))
+
+
+def batch_summary(packed: DataFrame, token_col: str) -> DataFrame:
+    """Aggregate packed rows to one row per (bucket, batch_id): doc
+    count + token total. Map-side partial agg on the already-bucketed
+    data; the output is the batch manifest a trainer would consume."""
+    return packed.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).alias("batch_tokens"))
