@@ -62,6 +62,17 @@ def main() -> None:
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     neardup = lsh_near_dup_pairs(emb, dim=64, bands=12, planes_per_band=4)
 
+    from json_schema_lean_spark.operators.packing import (
+        batch_summary, pack_documents, stratified_sample)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sampled = stratified_sample(docs, "doc_id", "lang",
+                                {"en": 0.5, "zh": 0.8}, default=0.1)
+    toks = docs.select("doc_id", F.size(F.split(F.trim("text"),
+                                                r"\s+")).alias("n_tokens"))
+    packed = batch_summary(
+        pack_documents(toks, "doc_id", "n_tokens", 512, n_buckets=16),
+        "n_tokens")
+
     sections = [
         ("Fused verdict plan (scale path)",
          "Single codegen'd projection over the scan — no Exchange, no Python, "
@@ -96,6 +107,17 @@ def main() -> None:
          "Filters reach the parquet reader (PushedFilters) and ReadSchema "
          "carries only referenced columns.",
          explain(pushdown)),
+        ("Deterministic stratified sampling (r5)",
+         "Hash-of-key selection is a single Filter evaluated beside the "
+         "scan — zero Exchange, partition- and run-insensitive, identical "
+         "row set on any cluster layout (seed-based sample() is neither).",
+         explain(sampled, "simple")),
+        ("Token-budget sequence packing (r5)",
+         "One Exchange on the uniform hash-bucket key, then a per-bucket "
+         "running-sum Window and map-side-combined HashAggregate for the "
+         "batch manifest — no global ordering, no single-task window; each "
+         "window task handles ~n/n_buckets rows.",
+         explain(packed, "simple")),
     ]
 
     with open(os.path.join(os.path.dirname(os.path.dirname(
