@@ -141,6 +141,26 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition + shape signals
+    (operators/text.py): bigram repetition, mean word length, symbol
+    ratio, repeated-line fraction. Pure Column expressions — scan-speed
+    quality filtering; the oracle replays every list op in SQL."""
+    from json_schema_lean_spark.operators.text import (
+        mean_word_length, ngram_repetition_ratio, repeated_line_fraction,
+        symbol_word_ratio)
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.round(ngram_repetition_ratio(F.col("text"), 2), 6)
+         .alias("bigram_rep"),
+        F.round(mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+        F.round(symbol_word_ratio(F.col("text")), 6).alias("symbol_ratio"),
+        F.round(repeated_line_fraction(F.col("text")), 6)
+         .alias("rep_line_frac"),
+    )
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language downsample (operators/packing.py):
     hash-of-key selection, engine-portable — the oracle reproduces the
@@ -761,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "quality_ratios": _q_quality_ratios,
         "fingerprints": _q_fingerprints,
+        "gopher_quality": _q_gopher_quality,  # repetition signals: full oracle
         "stratified_sample": _q_stratified_sample,  # portable hash: full oracle
         "pack_batches": _q_pack_batches,    # bucketed packing: full oracle
         "q1_pricing": _q_q1_pricing,
@@ -1194,6 +1215,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
             FROM documents
+        """,
+        "gopher_quality": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE length(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            ), g AS (
+                SELECT doc_id, text, n_tokens,
+                       CASE WHEN len(toks) < 2
+                            THEN [array_to_string(toks, ' ')]
+                            ELSE list_transform(range(1, len(toks)),
+                                 i -> array_to_string(
+                                          list_slice(toks, i, i + 1), ' '))
+                       END AS grams,
+                       string_split(text, chr(10)) AS lines
+                FROM t
+            )
+            SELECT doc_id,
+                   round((len(grams) - len(list_distinct(grams)))::DOUBLE
+                         / len(grams), 6) AS bigram_rep,
+                   round(CASE WHEN n_tokens = 0 THEN 0.0
+                              ELSE length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+                                   / n_tokens END, 6) AS mean_word_len,
+                   round(CASE WHEN n_tokens = 0 THEN 0.0
+                              ELSE length(regexp_replace(text,
+                                       '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                                   / n_tokens END, 6) AS symbol_ratio,
+                   round((len(lines) - len(list_distinct(lines)))::DOUBLE
+                         / len(lines), 6) AS rep_line_frac
+            FROM g
         """,
         "stratified_sample": """
             SELECT doc_id, lang

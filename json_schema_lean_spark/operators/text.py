@@ -117,3 +117,39 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     return F.when(cnt < n, F.array(F.array_join(toks, " "))).otherwise(
         F.transform(F.sequence(F.lit(0), cnt - n),
                     lambda i: F.array_join(F.slice(toks, i + 1, n), " ")))
+
+
+def ngram_repetition_ratio(text: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that repeat an earlier occurrence
+    (Gopher/MassiveText-style repetition filter: high values mark
+    boilerplate and degenerate generations). Pure Column expressions on
+    :func:`word_ngrams`, so it stays in codegen at scan speed."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    return (total - F.size(F.array_distinct(grams))) / total
+
+
+def mean_word_length(text: Column) -> Column:
+    """Mean characters per whitespace token (Gopher bounds ~3-10 for
+    natural language); 0 for blank text. Computed as non-space chars /
+    token count — identical to the per-token mean under whitespace
+    tokenization, and a single regexp instead of an array walk."""
+    n = token_count(text)
+    chars = F.length(F.regexp_replace(text, r"\s", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(chars / n)
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """Non-alphanumeric-symbol count per whitespace token (Gopher flags
+    docs with ratio > ~0.1 as markup/code debris); 0 for blank text."""
+    n = token_count(text)
+    sym = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(sym / n)
+
+
+def repeated_line_fraction(text: Column) -> Column:
+    """Fraction of lines that duplicate an earlier line (boilerplate /
+    navigation debris signal); 0 for single-line or blank text."""
+    lines = F.split(text, "\n")
+    total = F.size(lines)
+    return (total - F.size(F.array_distinct(lines))) / total
