@@ -141,6 +141,18 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): per-doc share
+    of distinct word 8-grams that appear in a deterministic 'benchmark'
+    slice (doc_id % 20 == 0 stands in for an eval suite). Plan:
+    benchmark grams broadcast, corpus streams through a broadcast
+    left-semi join — no corpus-side shuffle for the matching."""
+    from json_schema_lean_spark.operators.decontam import benchmark_overlap
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 20 == 0).select("text")
+    return benchmark_overlap(d, bench, n=8)
+
+
 def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText-style repetition + shape signals
     (operators/text.py): bigram repetition, mean word length, symbol
@@ -782,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_ratios": _q_quality_ratios,
         "fingerprints": _q_fingerprints,
         "gopher_quality": _q_gopher_quality,  # repetition signals: full oracle
+        "decontam_overlap": _q_decontam_overlap,  # n-gram overlap: full oracle
         "stratified_sample": _q_stratified_sample,  # portable hash: full oracle
         "pack_batches": _q_pack_batches,    # bucketed packing: full oracle
         "q1_pricing": _q_q1_pricing,
@@ -1215,6 +1228,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
             FROM documents
+        """,
+        "decontam_overlap": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS tk
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, unnest(list_distinct(
+                           CASE WHEN len(tk) < 8
+                                THEN [array_to_string(tk, ' ')]
+                                ELSE list_transform(range(1, len(tk) - 6),
+                                     i -> array_to_string(
+                                              list_slice(tk, i, i + 7), ' '))
+                           END)) AS gram
+                FROM toks
+            ), totals AS (
+                SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+            ), bench AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0
+            ), matched AS (
+                SELECT g.doc_id, count(*) AS n_matched
+                FROM grams g JOIN bench USING (gram)
+                GROUP BY g.doc_id
+            )
+            SELECT t.doc_id, t.n_grams::BIGINT AS n_grams,
+                   COALESCE(m.n_matched, 0)::BIGINT AS n_matched,
+                   round(COALESCE(m.n_matched, 0)::DOUBLE / t.n_grams, 6)
+                       AS overlap_frac
+            FROM totals t LEFT JOIN matched m USING (doc_id)
         """,
         "gopher_quality": """
             WITH t AS (
