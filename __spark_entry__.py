@@ -141,6 +141,23 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan (operators/text.py): per-doc email/IPv4/phone match
+    counts plus the length delta after typed-placeholder redaction —
+    patterns restricted to the Java∩RE2 regex subset so DuckDB counts
+    identically. (The synthetic corpus is PII-free, so nonzero semantics
+    are pinned by crafted-input pytest; the oracle still value-checks
+    the full expression pipeline end-to-end.)"""
+    from json_schema_lean_spark.operators.text import pii_counts, redact_pii
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        *pii_counts(F.col("text")),
+        (F.length(redact_pii(F.col("text"))) - F.length("text"))
+        .cast("long").alias("redact_len_delta"),
+    )
+
+
 def _q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py): per-doc share
     of distinct word 8-grams that appear in a deterministic 'benchmark'
@@ -794,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_ratios": _q_quality_ratios,
         "fingerprints": _q_fingerprints,
         "gopher_quality": _q_gopher_quality,  # repetition signals: full oracle
+        "pii_scan": _q_pii_scan,            # Java∩RE2 regexes: full oracle
         "decontam_overlap": _q_decontam_overlap,  # n-gram overlap: full oracle
         "stratified_sample": _q_stratified_sample,  # portable hash: full oracle
         "pack_batches": _q_pack_batches,    # bucketed packing: full oracle
@@ -1227,6 +1245,23 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": """
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "pii_scan": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+                       AS n_email,
+                   len(regexp_extract_all(text,
+                       '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b'))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\\+?\\d[\\d -]{7,}\\d'))::BIGINT AS n_phone,
+                   (length(regexp_replace(regexp_replace(regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+                        '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IPV4>', 'g'),
+                        '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g'))
+                    - length(text))::BIGINT AS redact_len_delta
             FROM documents
         """,
         "decontam_overlap": """

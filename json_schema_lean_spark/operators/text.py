@@ -153,3 +153,32 @@ def repeated_line_fraction(text: Column) -> Column:
     lines = F.split(text, "\n")
     total = F.size(lines)
     return (total - F.size(F.array_distinct(lines))) / total
+
+
+# PII patterns: deliberately restricted to syntax that Java regex (Spark),
+# RE2 (DuckDB) and Python re all compile identically — no backrefs, no
+# lookaround — so detection counts and redaction are engine-portable.
+_PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d[\d -]{7,}\d"),
+]
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-kind PII match counts (emails, IPv4 literals, phone-shaped
+    digit runs) as codegen'd regexp_count Columns — scan-speed detection
+    for routing/reporting before redaction."""
+    return [F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{kind}")
+            for kind, pat in _PII_PATTERNS]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with a typed placeholder (``<EMAIL>``,
+    ``<IPV4>``, ``<PHONE>``), applied in fixed order (emails first so
+    their digits can't be re-matched as phones). Chained regexp_replace:
+    pure JVM, no Python, safe inside any projection."""
+    out = text
+    for kind, pat in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
