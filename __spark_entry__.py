@@ -176,8 +176,8 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, repeated-line fraction. Pure Column expressions — scan-speed
     quality filtering; the oracle replays every list op in SQL."""
     from json_schema_lean_spark.operators.text import (
-        mean_word_length, ngram_repetition_ratio, repeated_line_fraction,
-        symbol_word_ratio)
+        char_entropy, mean_word_length, ngram_repetition_ratio,
+        repeated_line_fraction, symbol_word_ratio)
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
@@ -187,6 +187,7 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(symbol_word_ratio(F.col("text")), 6).alias("symbol_ratio"),
         F.round(repeated_line_fraction(F.col("text")), 6)
          .alias("rep_line_frac"),
+        F.round(char_entropy(F.col("text")), 6).alias("char_entropy_bits"),
     )
 
 
@@ -1323,7 +1324,17 @@ def oracle_sql() -> dict[str, str]:
                                        '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
                                    / n_tokens END, 6) AS symbol_ratio,
                    round((len(lines) - len(list_distinct(lines)))::DOUBLE
-                         / len(lines), 6) AS rep_line_frac
+                         / len(lines), 6) AS rep_line_frac,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE round(log2(length(text)) -
+                             list_sum(list_transform(
+                                 list_transform(
+                                     list_distinct(string_split(text, '')),
+                                     c -> len(list_filter(
+                                              string_split(text, ''),
+                                              x -> x = c))),
+                                 c -> c * log2(c))) / length(text), 6)
+                   END AS char_entropy_bits
             FROM g
         """,
         "stratified_sample": """

@@ -182,3 +182,21 @@ def redact_pii(text: Column) -> Column:
     for kind, pat in _PII_PATTERNS:
         out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
     return out
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy (bits/char) of the document's character
+    distribution — near-zero flags degenerate repetition, ~log2(alphabet)
+    flags random/binary garbage; natural language sits ~3.5-4.5. Pure
+    HOF pipeline: H = log2(n) - sum(cnt*log2(cnt))/n over per-distinct-
+    char counts, O(distinct*len) per row — fine for document-sized
+    strings, zero Python, zero shuffle. 0.0 for empty text."""
+    chars = F.split(text, "")
+    n = F.size(chars)
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)))
+    weighted = F.aggregate(
+        counts, F.lit(0.0),
+        lambda acc, cnt: acc + cnt.cast("double") * F.log2(cnt))
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.log2(n) - weighted / n)

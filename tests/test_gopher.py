@@ -66,3 +66,15 @@ def test_symbol_ratio_counts_per_token(scored):
 def test_mean_word_length_natural(scored):
     # 'all words here are unique' = 21 non-space chars / 5 tokens
     assert scored[1].mwl == 4.2
+
+
+def test_char_entropy_cases(spark):
+    from json_schema_lean_spark.operators.text import char_entropy
+    rows = [(0, "aaaaaaaa"), (1, "abcd"), (2, ""), (3, "hello world")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: r.h for r in df.select(
+        "doc_id", F.round(char_entropy(F.col("text")), 6).alias("h")).collect()}
+    assert got[0] == 0.0            # degenerate repetition
+    assert got[1] == 2.0            # 4 distinct chars, uniform
+    assert got[2] == 0.0            # blank
+    assert got[3] == 2.845351       # natural-ish text
