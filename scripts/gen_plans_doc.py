@@ -73,6 +73,10 @@ def main() -> None:
         pack_documents(toks, "doc_id", "n_tokens", 512, n_buckets=16),
         "n_tokens")
 
+    from json_schema_lean_spark.operators.decontam import benchmark_overlap
+    decontam = benchmark_overlap(
+        docs, docs.where(F.col("doc_id") % 20 == 0).select("text"), n=8)
+
     sections = [
         ("Fused verdict plan (scale path)",
          "Single codegen'd projection over the scan — no Exchange, no Python, "
@@ -112,6 +116,12 @@ def main() -> None:
          "scan — zero Exchange, partition- and run-insensitive, identical "
          "row set on any cluster layout (seed-based sample() is neither).",
          explain(sampled, "simple")),
+        ("Benchmark decontamination (r5)",
+         "The benchmark gram set broadcasts (BroadcastExchange on the eval "
+         "side only); the corpus streams through BroadcastHashJoin LeftSemi "
+         "— no corpus-side shuffle for the matching; only the doc_id "
+         "aggregations exchange, map-side combined.",
+         explain(decontam, "simple")),
         ("Token-budget sequence packing (r5)",
          "One Exchange on the uniform hash-bucket key, then a per-bucket "
          "running-sum Window and map-side-combined HashAggregate for the "
