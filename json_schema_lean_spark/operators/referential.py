@@ -30,11 +30,18 @@ def dangling_ref_counts(fact: DataFrame, fact_key: str,
 def span_media_integrity(docs: DataFrame, catalog: DataFrame) -> DataFrame:
     """Spans-table flavor: explode media refs, anti-join the broadcast
     catalog, return (doc_id, span_idx, media_ref) violation rows."""
+    # r6: extract the media_ref string array BEFORE the explode — the
+    # Generate then materializes one string per span instead of the whole
+    # 4-field struct, and nested-schema pruning lets the parquet scan read
+    # only spans.media_ref (ReadSchema shrinks from the full span struct to
+    # one field). Positions are unchanged: the field array has exactly one
+    # (possibly null) element per span, and the null filter still runs
+    # after position assignment.
     refs = docs.select(
         "doc_id",
-        F.posexplode("spans").alias("span_idx", "span"),
-    ).select("doc_id", "span_idx", F.col("span.media_ref").alias("media_ref")) \
-     .where(F.col("media_ref").isNotNull())
+        F.posexplode(F.col("spans").getField("media_ref"))
+         .alias("span_idx", "media_ref"),
+    ).where(F.col("media_ref").isNotNull())
     return refs.join(F.broadcast(catalog.select("media_ref").distinct()),
                      on="media_ref", how="left_anti") \
                .select("doc_id", "span_idx", "media_ref")

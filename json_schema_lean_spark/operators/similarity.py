@@ -39,13 +39,24 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     window shuffle keyed by query id. Ties break on neighbor id (ascending)
     for determinism.
     """
+    from ..parallelism import scale_partitions
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("c_vec"))
+    # r6: norms hoisted BEFORE the join — each side's norm is computed once
+    # per row instead of once per (corpus x query) pair (5x fewer norm
+    # folds at k queries = 5), and the single-row-group corpus scan is
+    # spread to default parallelism (guide §2.5). Same expressions on the
+    # same rows => bit-identical scores (pinned by the oracle and a pytest
+    # differential); the division/multiplication order below matches
+    # cosine() exactly.
+    c = scale_partitions(c).withColumn("c_norm", _norm(F.col("c_vec")))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("q_vec"))
+    q = q.withColumn("q_norm", _norm(F.col("q_vec")))
     scored = (c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
                 .select("query_id", "neighbor_id",
-                        cosine(F.col("c_vec"), F.col("q_vec")).alias("score")))
+                        (_dot(F.col("c_vec"), F.col("q_vec"))
+                         / (F.col("c_norm") * F.col("q_norm"))).alias("score")))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

