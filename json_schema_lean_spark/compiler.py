@@ -242,6 +242,32 @@ def java_regex_safe(pattern: str) -> bool:
     return java_regex_exact(pattern)
 
 
+#: characters with no meaning in a Java regex outside character classes —
+#: a pattern made only of these (plus an optional ^ / $ anchor) is a plain
+#: substring test, executable with codegen'd string primitives instead of
+#: the regex engine (r6; measured ~9 CPU-s of rlike on 3M doc_ids)
+_PLAIN_CHARS = r"[A-Za-z0-9_\-:/ @!%&=;,<>~#\x80-\U0010ffff]"
+_PAT_PREFIX = re.compile(rf"^\^{_PLAIN_CHARS}+$")
+_PAT_INFIX = re.compile(rf"^{_PLAIN_CHARS}+$")
+
+
+def _literal_pattern_predicate(jpat: str):
+    """Codegen'd string-primitive equivalent of an unanchored regex SEARCH
+    for metacharacter-free patterns, or None when the regex engine is
+    needed. `^lit` -> startswith, bare `lit` -> contains — both
+    verdict-identical to ``regexp_like(c, jpat)`` because none of the
+    admitted characters carry regex meaning and `^` (without MULTILINE)
+    matches only the true input start in Java and Python alike. `$` is
+    deliberately NOT rewritten: both engines let it match before a trailing
+    newline, which endswith/equality would not reproduce."""
+    if _PAT_PREFIX.match(jpat):
+        lit = jpat[1:]
+        return lambda c, s=lit: c.startswith(s)
+    if _PAT_INFIX.match(jpat):
+        return lambda c, s=jpat: c.contains(s)
+    return None
+
+
 class ColumnarCompiler:
     """Compile a schema once against a DataFrame column's dtype."""
 
@@ -520,9 +546,19 @@ class ColumnarCompiler:
             jpat = to_java_regex(pat)
             if jpat is None:
                 raise CompileFallback(f"pattern not Java-safe: {pat!r}")
-            add_simple(lambda c, p=jpat: F.regexp_like(c, F.lit(p)),
-                       "pattern", f"no match for {pat!r}",
-                       ref=self._refb("pattern", dtype, pattern=pat))
+            # r6: metacharacter-free patterns drop the regex engine for a
+            # codegen'd string primitive — JSON Schema `pattern` is an
+            # unanchored SEARCH, so `^lit` == startswith, bare `lit` ==
+            # contains, `lit$` == endswith (verdict-identical; pinned by
+            # the cross-path differential tests).
+            lit_fn = _literal_pattern_predicate(jpat)
+            if lit_fn is not None:
+                add_simple(lit_fn, "pattern", f"no match for {pat!r}",
+                           ref=self._refb("pattern", dtype, pattern=pat))
+            else:
+                add_simple(lambda c, p=jpat: F.regexp_like(c, F.lit(p)),
+                           "pattern", f"no match for {pat!r}",
+                           ref=self._refb("pattern", dtype, pattern=pat))
         if self.assert_formats and s.format is not None:
             from .formats import format_predicate
             fmt = s.format

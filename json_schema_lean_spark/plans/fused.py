@@ -136,7 +136,14 @@ def fused_items_verdict(comp: ColumnarCompiler, items_schema: Schema,
     # a NULL element is JSON null: it fails "type":"object" unless "null"
     # (or "any") is allowed (see compiler null_means="null" semantics)
     nulls_legal = "any" in s.types or "null" in s.types
-    if not nulls_legal:
+    # r6: when a required key exists as a real field, its presence clause
+    # (size(compact(arr.k)) == n) already forces every ELEMENT non-null (a
+    # null struct's field extract is null), so the standalone null-element
+    # clause is implied and one interpreted filter() pass per row is saved
+    # (Catalyst rewrites array_compact to an interpreted lambda filter —
+    # HOFs never whole-stage-codegen).
+    required_real = [k for k in (s.required or []) if k in field_type]
+    if not nulls_legal and not required_real:
         clauses.append(F.size(F.array_compact(arr)) == n)
     # element-count baseline for key-presence checks: when null elements are
     # legal they must NOT count as objects-missing-the-key, so required
@@ -163,40 +170,78 @@ def fused_items_verdict(comp: ColumnarCompiler, items_schema: Schema,
         clauses.extend(
             _fused_property_clauses(sub, arr.getField(name), field_type[name],
                                     assert_formats=getattr(
-                                        comp, "assert_formats", False)))
+                                        comp, "assert_formats", False),
+                                    nulls_ruled_out=(not nulls_legal
+                                                     and name in required_real)))
 
     if not clauses:
         return F.lit(True)
     return reduce(lambda a, b: a & b, clauses)
 
 
-def _fused_joined_length_clause(compact: Column, bad_re: str, slow) -> Column:
+def _let(expr: Column, fn) -> Column:
+    """Let-binding inside an expression: evaluate `expr` ONCE, pass it to
+    `fn` as a lambda variable. Catalyst has no common-subexpression reuse
+    for interpreted expressions (and array_compact is rewritten to an
+    interpreted lambda filter), but a higher-order function evaluates its
+    array argument once and binds it as a real attribute (r6; same trick
+    as variant._let)."""
+    return F.get(F.transform(F.array(expr), fn), 0)
+
+
+def _n_lines(joined: Column) -> Column:
+    """Line count of a non-empty join result without the regex-split array
+    allocation: newline occurrences + 1 (r6; split(s, '\\n') produced a
+    throwaway array per row). Identical for every string — split() with
+    the default -1 limit keeps trailing empties, so its size is exactly
+    count('\\n') + 1."""
+    return (F.length(joined)
+            - F.length(F.replace(joined, F.lit("\n"), F.lit(""))) + 1)
+
+
+def _fused_joined_length_clause(compact: Column, bad_re: str,
+                                slow) -> Column:
     """Per-element string-length check without lambda HOFs on the hot path:
     newline-join the elements and regex-search for a too-short/too-long line
     (wrapped in sentinel newlines). Java regex quantifiers count code points,
     matching F.length and the interpreter's len(). Rows where an element
     embeds a newline take the lazily-evaluated per-element HOF branch (same
-    guard as the fused pattern clause)."""
-    joined = F.array_join(compact, "\n")
-    n_elems = F.size(compact)
-    n_lines = F.when(n_elems == 0, F.lit(0)) \
-               .otherwise(F.size(F.split(joined, "\n")))
-    fast_ok = ~F.regexp_like(F.concat(F.lit("\n"), joined, F.lit("\n")),
-                             F.lit(bad_re))
-    slow_ok = F.forall(compact, lambda e: slow(e))
-    return (F.when(n_elems == 0, F.lit(True))
-             .when(n_lines == n_elems, fast_ok)
-             .otherwise(slow_ok))
+    guard as the fused pattern clause).
+
+    r6: the compact array and the joined string are let-bound, so each is
+    evaluated once per row instead of once per reference (Catalyst rewrites
+    array_compact into an interpreted lambda filter and inlines every
+    aliased reference; this clause used to pay 3-4 filter passes)."""
+    def body(cm: Column) -> Column:
+        def body2(joined: Column) -> Column:
+            n_elems = F.size(cm)
+            fast_ok = ~F.regexp_like(
+                F.concat(F.lit("\n"), joined, F.lit("\n")), F.lit(bad_re))
+            slow_ok = F.forall(cm, lambda e: slow(e))
+            return (F.when(n_elems == 0, F.lit(True))
+                     .when(_n_lines(joined) == n_elems, fast_ok)
+                     .otherwise(slow_ok))
+        return _let(F.array_join(cm, "\n"), body2)
+
+    return _let(compact, body)
 
 
 def _fused_property_clauses(s: SchemaObject, field_arr: Column,
                             dtype: Any,
-                            assert_formats: bool = False) -> list[Column]:
+                            assert_formats: bool = False,
+                            nulls_ruled_out: bool = False) -> list[Column]:
     """Per-field keyword clauses over the extracted field array (nulls =
     absent keys: array_compact / array_min skip them, preserving the
-    type-guard semantics)."""
+    type-guard semantics).
+
+    ``nulls_ruled_out=True`` means the caller guarantees that ANY null in
+    ``field_arr`` already makes the overall conjunction false (the field is
+    required and null elements are illegal), so clauses may skip the
+    interpreted array_compact pass: with nulls present their own result no
+    longer matters (false/null both conjoin to false under the fused
+    verdict's outer coalesce), and without nulls compact(x) == x (r6)."""
     out: list[Column] = []
-    compact = F.array_compact(field_arr)
+    compact = field_arr if nulls_ruled_out else F.array_compact(field_arr)
 
     # type: must be statically satisfied (integer refinement not fusable)
     if "any" not in s.types:
@@ -258,7 +303,13 @@ def _fused_property_clauses(s: SchemaObject, field_arr: Column,
         if s.min_length == 0:
             pass
         elif s.min_length == 1:
-            out.append(~F.array_contains(compact, ""))
+            # r6: no compact needed — array_contains over the raw field
+            # array returns true (found), false (absent, no nulls) or null
+            # (absent with nulls); coalesce(.., false) makes the null case
+            # pass exactly like the old filtered form, without the
+            # interpreted filter pass
+            out.append(~F.coalesce(F.array_contains(field_arr, ""),
+                                   F.lit(False)))
         else:
             # join trick (r2 widening): a line of <= n-1 code points means
             # some element is too short. Java regex counts code points like
@@ -282,19 +333,28 @@ def _fused_property_clauses(s: SchemaObject, field_arr: Column,
         if not _PREFIX_LITERAL.match(s.pattern):
             raise FusedUnsupported(f"pattern {s.pattern!r} not fusable")
         prefix = s.pattern[1:]
-        joined = F.array_join(compact, "\n")
-        fast_ok = ~F.regexp_like(
-            F.concat(F.lit("\n"), joined),
-            F.lit("\n(?!" + re.escape(prefix) + ")"))
-        # join trick is only sound when no element embeds a newline; rows
-        # that do take the (lazily evaluated) per-element HOF branch
-        n_elems = F.size(compact)
-        n_lines = F.when(n_elems == 0, F.lit(0)) \
-                   .otherwise(F.size(F.split(joined, "\n")))
-        slow_ok = F.forall(compact, lambda e: e.startswith(prefix))
-        out.append(F.when(n_elems == 0, F.lit(True))
-                    .when(n_lines == n_elems, fast_ok)
-                    .otherwise(slow_ok))
+
+        # r6: compact + joined let-bound (one filter / one join per row
+        # instead of one per reference — this clause used to inline the
+        # interpreted compact filter 5x). NB: single-parameter functions
+        # only — a second (even defaulted) parameter makes pyspark treat
+        # the callable as an (element, index) HOF lambda.
+        def pat_body(cm: Column) -> Column:
+            def pat_body2(joined: Column) -> Column:
+                n_elems = F.size(cm)
+                fast_ok = ~F.regexp_like(
+                    F.concat(F.lit("\n"), joined),
+                    F.lit("\n(?!" + re.escape(prefix) + ")"))
+                # join trick is only sound when no element embeds a
+                # newline; rows that do take the (lazily evaluated)
+                # per-element HOF branch
+                slow_ok = F.forall(cm, lambda e: e.startswith(prefix))
+                return (F.when(n_elems == 0, F.lit(True))
+                         .when(_n_lines(joined) == n_elems, fast_ok)
+                         .otherwise(slow_ok))
+            return _let(F.array_join(cm, "\n"), pat_body2)
+
+        out.append(_let(compact, pat_body))
     return out
 
 
