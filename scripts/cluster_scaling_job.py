@@ -43,8 +43,15 @@ def needs_more_runs(times: list, cap: int) -> bool:
     super-linear scaling (measured: a monotone 22.7->19.3 five-run
     1-executor series produced "efficiency 1.06"). Keep running while
     either of the last two runs still improved >2% on the best of the
-    earlier runs, capped at ``cap`` total runs."""
-    return len(times) < cap and min(times[-2:]) < 0.98 * min(times[:-2])
+    earlier runs, capped at ``cap`` total runs. Fewer than 3 runs so far
+    means there is no earlier-runs baseline yet: keep running (ADVICE r5:
+    min() of the empty times[:-2] raised ValueError when the job was
+    submitted with runs <= 2)."""
+    if len(times) >= cap:
+        return False
+    if len(times) < 3:
+        return True
+    return min(times[-2:]) < 0.98 * min(times[:-2])
 
 
 def _executor_count(sc) -> int:

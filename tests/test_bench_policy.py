@@ -59,3 +59,12 @@ def test_cap_halts_even_when_improving():
 def test_late_single_improvement_extends():
     # only ONE of the last two needs to beat the earlier best by >2%
     assert needs_more_runs([10.0, 10.1, 10.2, 10.1, 9.7], cap=15)
+
+
+def test_short_series_continues_without_crashing():
+    # ADVICE r5: times[:-2] is empty below 3 runs and min() used to raise
+    # ValueError; a too-short series has no baseline yet, so keep running
+    # unless the cap already halts it
+    assert needs_more_runs([10.0], cap=5)
+    assert needs_more_runs([10.0, 9.0], cap=5)
+    assert not needs_more_runs([10.0, 9.0], cap=2)
