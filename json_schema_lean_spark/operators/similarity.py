@@ -119,18 +119,23 @@ def ivf_topk_fixed(corpus: DataFrame, queries: DataFrame, k: int = 5,
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"))
+    # r6: norms hoisted before the probe join — once per row instead of
+    # once per (probe, query) match; same expressions, bit-identical scores
     c = c.withColumn("_probe",
-                     nearest(quantized(F.col("c_vec")), 1)[0])
+                     nearest(quantized(F.col("c_vec")), 1)[0]) \
+         .withColumn("c_norm", _norm(F.col("c_vec")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"))
-    q = q.withColumn("_probe", F.explode(
-        nearest(quantized(F.col("q_vec")), nprobe)))
+    q = q.withColumn("q_norm", _norm(F.col("q_vec"))) \
+         .withColumn("_probe", F.explode(
+             nearest(quantized(F.col("q_vec")), nprobe)))
     scored = (c.join(F.broadcast(q), "_probe")
                .where(F.col("neighbor_id") != F.col("query_id"))
                .select("query_id", "neighbor_id",
-                       cosine(F.col("c_vec"), F.col("q_vec"))
-                        .alias("score")))
+                       (_dot(F.col("c_vec"), F.col("q_vec"))
+                        / (F.col("c_norm") * F.col("q_norm")))
+                       .alias("score")))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -250,15 +255,20 @@ def ivf_topk(assigned: DataFrame, centroids: list[list[float]],
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"))
-    q = q.withColumn("_probe", F.explode(
-        _nearest_centroids(F.col("q_vec"), centroids, nprobe)))
+    q = q.withColumn("q_norm", _norm(F.col("q_vec"))) \
+         .withColumn("_probe", F.explode(
+             _nearest_centroids(F.col("q_vec"), centroids, nprobe)))
     c = assigned.select(F.col(id_col).alias("neighbor_id"),
                         F.col(vec_col).cast("array<double>").alias("c_vec"),
                         F.col("_cluster").alias("_probe"))
+    # r6: norms hoisted before the probe join (bit-identical scores)
+    c = c.withColumn("c_norm", _norm(F.col("c_vec")))
     scored = (c.join(F.broadcast(q), "_probe")
                 .where(F.col("neighbor_id") != F.col("query_id"))
                 .select("query_id", "neighbor_id",
-                        cosine(F.col("c_vec"), F.col("q_vec")).alias("score")))
+                        (_dot(F.col("c_vec"), F.col("q_vec"))
+                         / (F.col("c_norm") * F.col("q_norm")))
+                        .alias("score")))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -340,9 +350,15 @@ def lsh_band_signatures(df: DataFrame, weights: list[list[list[int]]],
         sig = reduce_add(bits)
         band_sigs.append(F.struct(F.lit(b).cast("int").alias("band"),
                                   sig.alias("sig")))
+    # r6: the cosine denominator norm is hoisted to BEFORE the band explode
+    # (computed once per input row, not once per band copy or candidate
+    # pair); consumers divide by the carried _norm instead of re-folding —
+    # same expression over the same row, so scores are bit-identical
     return (df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
+                      _norm(F.col(vec_col).cast("array<double>"))
+                      .alias("_norm"),
                       F.explode(F.array(*band_sigs)).alias("_bs"))
-              .select(F.col("_id"), F.col("_vec"),
+              .select(F.col("_id"), F.col("_vec"), F.col("_norm"),
                       F.col("_bs.band").alias("band"),
                       F.col("_bs.sig").alias("sig")))
 
@@ -385,15 +401,17 @@ def lsh_near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.45,
                                max_bucket_size, observation,
                                method=cap_method, portable=cap_portable)
     a = sigs.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"),
-                    "band", "sig")
+                    F.col("_norm").alias("_na"), "band", "sig")
     b = sigs.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"),
-                    "band", "sig")
+                    F.col("_norm").alias("_nb"), "band", "sig")
     cand = (a.join(b, ["band", "sig"])
              .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "_va", "_vb")
+             .select("id_a", "id_b", "_va", "_vb", "_na", "_nb")
              .dropDuplicates(["id_a", "id_b"]))
-    cos = F.round(cosine(F.col("_va").cast("array<double>"),
-                         F.col("_vb").cast("array<double>")), 4)
+    # hoisted norms (see lsh_band_signatures); same mult order as cosine()
+    cos = F.round(_dot(F.col("_va").cast("array<double>"),
+                       F.col("_vb").cast("array<double>"))
+                  / (F.col("_na") * F.col("_nb")), 4)
     return (cand.select("id_a", "id_b", cos.alias("cos"))
                 .where(F.col("cos") > threshold))
 
@@ -458,18 +476,22 @@ def lsh_topk_banded(corpus: DataFrame, queries: DataFrame, dim: int,
     c = lsh_band_signatures(corpus, weights, id_col=id_col, vec_col=vec_col,
                             quant=quant) \
         .select(F.col("_id").alias("neighbor_id"),
-                F.col("_vec").alias("_cv"), "band", "sig")
+                F.col("_vec").alias("_cv"), F.col("_norm").alias("_cn"),
+                "band", "sig")
     q = lsh_band_signatures(queries, weights, id_col=id_col, vec_col=vec_col,
                             quant=quant) \
         .select(F.col("_id").alias("query_id"),
-                F.col("_vec").alias("_qv"), "band", "sig")
+                F.col("_vec").alias("_qv"), F.col("_norm").alias("_qn"),
+                "band", "sig")
     cand = (c.join(F.broadcast(q), ["band", "sig"])
              .where(F.col("neighbor_id") != F.col("query_id"))
              .dropDuplicates(["query_id", "neighbor_id"]))
+    # hoisted norms (see lsh_band_signatures); same mult order as cosine()
     scored = cand.select(
         "query_id", "neighbor_id",
-        F.round(cosine(F.col("_cv").cast("array<double>"),
-                       F.col("_qv").cast("array<double>")), 6).alias("score"))
+        F.round(_dot(F.col("_cv").cast("array<double>"),
+                     F.col("_qv").cast("array<double>"))
+                / (F.col("_cn") * F.col("_qn")), 6).alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -535,10 +557,15 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
                            F.col(vec_col).cast("array<double>").alias("c_vec"), "_sig")
     q = sig(queries).select(F.col(id_col).alias("query_id"),
                             F.col(vec_col).cast("array<double>").alias("q_vec"), "_sig")
+    # r6: norms hoisted before the bucket join (bit-identical scores)
+    c = c.withColumn("c_norm", _norm(F.col("c_vec")))
+    q = q.withColumn("q_norm", _norm(F.col("q_vec")))
     scored = (c.join(F.broadcast(q), "_sig")
                 .where(F.col("neighbor_id") != F.col("query_id"))
                 .select("query_id", "neighbor_id",
-                        cosine(F.col("c_vec"), F.col("q_vec")).alias("score")))
+                        (_dot(F.col("c_vec"), F.col("q_vec"))
+                         / (F.col("c_norm") * F.col("q_norm")))
+                        .alias("score")))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
