@@ -297,6 +297,34 @@ def test_warm_start_reported_and_neutral(spark, spans_path, tmp_path):
     assert canon(ck.results().collect()) == canon(cold.results().collect())
 
 
+def test_unit_fn_warm_start_reported_and_neutral(spark, dup_docs_path,
+                                                 tmp_path):
+    """r6 (VERDICT r5 #7): a CUSTOM unit_fn run is warmed too — two
+    noop-sink executions of the unit_fn over the smallest input file —
+    reported via warmup_sec and provably output/metric-neutral (the
+    warm-up discards its result and uses its own fresh Observations)."""
+    warm_out = str(tmp_path / "warm")
+    warm = CheckpointedValidation(spark, dup_docs_path, {"type": "object"},
+                                  warm_out, files_per_unit=2,
+                                  unit_fn=_capped_dedup_unit_fn)
+    rw = warm.run()
+    assert rw.warmup_sec > 0 and rw.units_processed > 0
+    # nothing pending on resume -> no warm-up
+    assert warm.run().warmup_sec == 0.0
+
+    cold_out = str(tmp_path / "cold")
+    cold = CheckpointedValidation(spark, dup_docs_path, {"type": "object"},
+                                  cold_out, files_per_unit=2,
+                                  unit_fn=_capped_dedup_unit_fn,
+                                  warm_start=False)
+    rc = cold.run()
+    assert rc.warmup_sec == 0.0 and rc.units_processed == rw.units_processed
+    assert warm.summed_observed_metrics() == cold.summed_observed_metrics()
+    got = sorted((r["id_a"], r["id_b"]) for r in warm.results().collect())
+    want = sorted((r["id_a"], r["id_b"]) for r in cold.results().collect())
+    assert got == want and got
+
+
 def test_concurrent_units_identical(spark, spans_path, tmp_path):
     """concurrent_units>1 overlaps units as simultaneous Spark jobs; the
     combined output, manifest totals, and resume behavior must be
