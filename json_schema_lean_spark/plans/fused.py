@@ -155,6 +155,11 @@ def fused_items_verdict(comp: ColumnarCompiler, items_schema: Schema,
             if k not in field_type:
                 clauses.append(n_objs == 0)  # key can never be present
             else:
+                # NB (r6): a double-array_join null check measured 3x
+                # cheaper than this filter STANDALONE but +5 CPU-s/3M docs
+                # inside the full verdict projection (array_join is an
+                # interpreted fallback too); the filter form is the
+                # in-plan winner — re-measure in context before swapping.
                 clauses.append(F.size(F.array_compact(arr.getField(k))) == n_objs)
 
     for name, sub in (s.properties or []):
@@ -179,16 +184,6 @@ def fused_items_verdict(comp: ColumnarCompiler, items_schema: Schema,
     return reduce(lambda a, b: a & b, clauses)
 
 
-def _let(expr: Column, fn) -> Column:
-    """Let-binding inside an expression: evaluate `expr` ONCE, pass it to
-    `fn` as a lambda variable. Catalyst has no common-subexpression reuse
-    for interpreted expressions (and array_compact is rewritten to an
-    interpreted lambda filter), but a higher-order function evaluates its
-    array argument once and binds it as a real attribute (r6; same trick
-    as variant._let)."""
-    return F.get(F.transform(F.array(expr), fn), 0)
-
-
 def _n_lines(joined: Column) -> Column:
     """Line count of a non-empty join result without the regex-split array
     allocation: newline occurrences + 1 (r6; split(s, '\\n') produced a
@@ -199,31 +194,53 @@ def _n_lines(joined: Column) -> Column:
             - F.length(F.replace(joined, F.lit("\n"), F.lit(""))) + 1)
 
 
-def _fused_joined_length_clause(compact: Column, bad_re: str,
+def _let(expr: Column, fn) -> Column:
+    """Let-binding inside an expression: evaluate `expr` ONCE, pass it to
+    `fn` as a lambda variable. Catalyst has no common-subexpression reuse
+    for interpreted expressions (and array_compact is rewritten to an
+    interpreted lambda filter), but a higher-order function evaluates its
+    array argument once and binds it as a real attribute (r6; same trick
+    as variant._let)."""
+    return F.get(F.transform(F.array(expr), fn), 0)
+
+
+def _joined_line_scaffold(field_arr: Column, fast_fn, slow_fn) -> Column:
+    """Shared scaffold for per-element string checks via the newline-join
+    trick (r6): the compact array and the null-skipping join are LET-BOUND
+    so each is evaluated once per row instead of once per reference
+    (array_compact desugars to an interpreted lambda filter, array_join is
+    an interpreted fallback too, and Catalyst inlines every aliased
+    reference — the pattern clause used to pay 5 filter passes; an
+    attempted filter-free variant with a second marker join measured
+    SLOWER, 37.5 vs 26.5 CPU-s at 3M docs, because it traded one filter
+    for two extra join evaluations).
+
+    Rows where an element embeds a newline take ``slow_fn(compact)``, the
+    per-element HOF branch (lazily — CASE WHEN branches are not evaluated
+    until taken); everything else is decided by ``fast_fn(joined)``."""
+    def body(cm: Column) -> Column:
+        def body2(joined: Column) -> Column:
+            n_elems = F.size(cm)
+            return (F.when(n_elems == 0, F.lit(True))
+                     .when(_n_lines(joined) == n_elems, fast_fn(joined))
+                     .otherwise(slow_fn(cm)))
+        return _let(F.array_join(cm, "\n"), body2)
+    return _let(F.array_compact(field_arr), body)
+
+
+def _fused_joined_length_clause(field_arr: Column, bad_re: str,
                                 slow) -> Column:
     """Per-element string-length check without lambda HOFs on the hot path:
     newline-join the elements and regex-search for a too-short/too-long line
     (wrapped in sentinel newlines). Java regex quantifiers count code points,
     matching F.length and the interpreter's len(). Rows where an element
     embeds a newline take the lazily-evaluated per-element HOF branch (same
-    guard as the fused pattern clause).
-
-    r6: the compact array and the joined string are let-bound, so each is
-    evaluated once per row instead of once per reference (Catalyst rewrites
-    array_compact into an interpreted lambda filter and inlines every
-    aliased reference; this clause used to pay 3-4 filter passes)."""
-    def body(cm: Column) -> Column:
-        def body2(joined: Column) -> Column:
-            n_elems = F.size(cm)
-            fast_ok = ~F.regexp_like(
-                F.concat(F.lit("\n"), joined, F.lit("\n")), F.lit(bad_re))
-            slow_ok = F.forall(cm, lambda e: slow(e))
-            return (F.when(n_elems == 0, F.lit(True))
-                     .when(_n_lines(joined) == n_elems, fast_ok)
-                     .otherwise(slow_ok))
-        return _let(F.array_join(cm, "\n"), body2)
-
-    return _let(compact, body)
+    scaffold as the fused pattern clause)."""
+    return _joined_line_scaffold(
+        field_arr,
+        fast_fn=lambda S: ~F.regexp_like(
+            F.concat(F.lit("\n"), S, F.lit("\n")), F.lit(bad_re)),
+        slow_fn=lambda cm: F.forall(cm, lambda e: slow(e)))
 
 
 def _fused_property_clauses(s: SchemaObject, field_arr: Column,
@@ -316,7 +333,7 @@ def _fused_property_clauses(s: SchemaObject, field_arr: Column,
             # F.length and the interpreter's len(), so astral-plane strings
             # agree across strategies (pinned in tests).
             out.append(_fused_joined_length_clause(
-                compact,
+                field_arr,
                 bad_re="\n[^\n]{0,%d}\n" % (s.min_length - 1),
                 slow=lambda e, n=s.min_length: F.length(e) >= n))
     if s.max_length is not None and isinstance(dtype, StringType):
@@ -326,35 +343,24 @@ def _fused_property_clauses(s: SchemaObject, field_arr: Column,
         else:
             # a line of >= m+1 code points means some element is too long
             out.append(_fused_joined_length_clause(
-                compact,
+                field_arr,
                 bad_re="\n[^\n]{%d}" % (s.max_length + 1),
                 slow=lambda e, m=s.max_length: F.length(e) <= m))
     if s.pattern is not None and isinstance(dtype, StringType):
         if not _PREFIX_LITERAL.match(s.pattern):
             raise FusedUnsupported(f"pattern {s.pattern!r} not fusable")
         prefix = s.pattern[1:]
-
-        # r6: compact + joined let-bound (one filter / one join per row
-        # instead of one per reference — this clause used to inline the
-        # interpreted compact filter 5x). NB: single-parameter functions
-        # only — a second (even defaulted) parameter makes pyspark treat
-        # the callable as an (element, index) HOF lambda.
-        def pat_body(cm: Column) -> Column:
-            def pat_body2(joined: Column) -> Column:
-                n_elems = F.size(cm)
-                fast_ok = ~F.regexp_like(
-                    F.concat(F.lit("\n"), joined),
-                    F.lit("\n(?!" + re.escape(prefix) + ")"))
-                # join trick is only sound when no element embeds a
-                # newline; rows that do take the (lazily evaluated)
-                # per-element HOF branch
-                slow_ok = F.forall(cm, lambda e: e.startswith(prefix))
-                return (F.when(n_elems == 0, F.lit(True))
-                         .when(_n_lines(joined) == n_elems, fast_ok)
-                         .otherwise(slow_ok))
-            return _let(F.array_join(cm, "\n"), pat_body2)
-
-        out.append(_let(compact, pat_body))
+        # r6: fully codegen'd hot path via the shared scaffold — the
+        # interpreted per-element HOF branch only runs for rows where an
+        # element embeds a newline (this clause used to inline the
+        # interpreted compact filter 5x per row)
+        out.append(_joined_line_scaffold(
+            field_arr,
+            fast_fn=lambda S, p=prefix: ~F.regexp_like(
+                F.concat(F.lit("\n"), S),
+                F.lit("\n(?!" + re.escape(p) + ")")),
+            slow_fn=lambda cm, p=prefix: F.forall(
+                cm, lambda e: e.startswith(p))))
     return out
 
 
