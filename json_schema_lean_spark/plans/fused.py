@@ -16,9 +16,9 @@ array<string> via GetArrayStructFields — also codegen'd):
     minimum m on k -> coalesce(array_min(spans.k) >= m, true)   (nulls skip)
     maximum m on k -> coalesce(array_max(spans.k) <= m, true)
     minLength 1    -> !array_contains(array_compact(spans.k), '')
-    pattern ^lit   -> newline-join + one regexp over the joined string, with
-                      a per-row HOF fallback branch for elements containing
-                      a newline (lazily evaluated only for such rows)
+    pattern ^lit   -> string-range check: array_min >= lit AND
+                      array_max < succ(lit) (exact for the ASCII literal
+                      prefixes _PREFIX_LITERAL admits; r6)
 
 Measured ~1.8M docs/s at 32 cores vs ~300k for explode+agg on the same input.
 
@@ -65,9 +65,10 @@ class FusedUnsupported(Exception):
 
 #: pattern of patterns we can fuse: anchored literal prefix, no metachars.
 #: NOTE: '.' is deliberately NOT admitted — it is a regex metacharacter, and
-#: the fused fast/slow paths treat the prefix literally (re.escape /
-#: startswith), so '^foo.bar' must fall back to the general strategies where
-#: it keeps its any-char meaning (ADVICE r1: dotted patterns diverged here).
+#: the fused path treats the prefix literally (string-range check), so
+#: '^foo.bar' must fall back to the general strategies where it keeps its
+#: any-char meaning (ADVICE r1: dotted patterns diverged here). ASCII-only
+#: is also what makes the range check's succ() byte-order argument exact.
 _PREFIX_LITERAL = re.compile(r"^\^[A-Za-z0-9_\-:/ @]+$")
 
 
@@ -150,18 +151,16 @@ def fused_items_verdict(comp: ColumnarCompiler, items_schema: Schema,
     # compares against the NON-NULL element count
     n_objs = F.size(F.array_compact(arr)) if nulls_legal else n
 
-    if s.required:
-        for k in s.required:
-            if k not in field_type:
-                clauses.append(n_objs == 0)  # key can never be present
-            else:
-                # NB (r6): a double-array_join null check measured 3x
-                # cheaper than this filter STANDALONE but +5 CPU-s/3M docs
-                # inside the full verdict projection (array_join is an
-                # interpreted fallback too); the filter form is the
-                # in-plan winner — re-measure in context before swapping.
-                clauses.append(F.size(F.array_compact(arr.getField(k))) == n_objs)
-
+    # property clauses first: when a field is required AND one of its own
+    # clauses already fails on any null element (e.g. the enum array_except
+    # over the RAW field array — a null element survives the except and
+    # forces size > 0), the separate required clause
+    # size(array_compact(arr.k)) == n is IMPLIED under the conjunction and
+    # its interpreted filter pass can be dropped entirely (r6; only when
+    # null elements are illegal, so n_objs == n and the raw-array clause
+    # sees every element).
+    prop_clauses: list[Column] = []
+    null_covered: set[str] = set()
     for name, sub in (s.properties or []):
         if name not in field_type:
             continue  # field never present -> check never fires
@@ -170,14 +169,32 @@ def fused_items_verdict(comp: ColumnarCompiler, items_schema: Schema,
             if sub:
                 continue
             # false schema: field must never be present
-            clauses.append(F.size(F.array_compact(arr.getField(name))) == 0)
+            prop_clauses.append(
+                F.size(F.array_compact(arr.getField(name))) == 0)
             continue
-        clauses.extend(
-            _fused_property_clauses(sub, arr.getField(name), field_type[name],
-                                    assert_formats=getattr(
-                                        comp, "assert_formats", False),
-                                    nulls_ruled_out=(not nulls_legal
-                                                     and name in required_real)))
+        cl, covers_nulls = _fused_property_clauses(
+            sub, arr.getField(name), field_type[name],
+            assert_formats=getattr(comp, "assert_formats", False),
+            nulls_ruled_out=(not nulls_legal and name in required_real))
+        prop_clauses.extend(cl)
+        if covers_nulls:
+            null_covered.add(name)
+
+    if s.required:
+        for k in s.required:
+            if k not in field_type:
+                clauses.append(n_objs == 0)  # key can never be present
+            elif not nulls_legal and k in null_covered:
+                pass  # implied by the field's own null-catching clause
+            else:
+                # NB (r6): a double-array_join null check measured 3x
+                # cheaper than this filter STANDALONE but +5 CPU-s/3M docs
+                # inside the full verdict projection (array_join is an
+                # interpreted fallback too); the filter form is the
+                # in-plan winner — re-measure in context before swapping.
+                clauses.append(F.size(F.array_compact(arr.getField(k))) == n_objs)
+
+    clauses.extend(prop_clauses)
 
     if not clauses:
         return F.lit(True)
@@ -246,10 +263,14 @@ def _fused_joined_length_clause(field_arr: Column, bad_re: str,
 def _fused_property_clauses(s: SchemaObject, field_arr: Column,
                             dtype: Any,
                             assert_formats: bool = False,
-                            nulls_ruled_out: bool = False) -> list[Column]:
+                            nulls_ruled_out: bool = False
+                            ) -> tuple[list[Column], bool]:
     """Per-field keyword clauses over the extracted field array (nulls =
     absent keys: array_compact / array_min skip them, preserving the
-    type-guard semantics).
+    type-guard semantics). Returns ``(clauses, covers_nulls)``:
+    ``covers_nulls=True`` certifies that one of the emitted clauses is
+    FALSE whenever ``field_arr`` contains a null element, which lets the
+    caller drop the field's separate required clause (r6).
 
     ``nulls_ruled_out=True`` means the caller guarantees that ANY null in
     ``field_arr`` already makes the overall conjunction false (the field is
@@ -258,6 +279,7 @@ def _fused_property_clauses(s: SchemaObject, field_arr: Column,
     longer matters (false/null both conjoin to false under the fused
     verdict's outer coalesce), and without nulls compact(x) == x (r6)."""
     out: list[Column] = []
+    covers_nulls = False
     compact = field_arr if nulls_ruled_out else F.array_compact(field_arr)
 
     # type: must be statically satisfied (integer refinement not fusable)
@@ -301,6 +323,11 @@ def _fused_property_clauses(s: SchemaObject, field_arr: Column,
             cmp = compact.cast(f"array<double>") \
                 if isinstance(dtype, _INTEGRAL + _FRACTIONAL) else compact
             out.append(F.size(F.array_except(cmp, lit_arr)) == 0)
+            # over the RAW array (nulls_ruled_out), a null element survives
+            # the except (lit_arr is null-free) and forces size > 0 — this
+            # clause therefore subsumes the required-field null check
+            # (a cast to double keeps nulls null, so it holds there too)
+            covers_nulls = covers_nulls or nulls_ruled_out
 
     if isinstance(dtype, _INTEGRAL + _FRACTIONAL):
         d = field_arr.cast("array<double>")
@@ -338,8 +365,11 @@ def _fused_property_clauses(s: SchemaObject, field_arr: Column,
                 slow=lambda e, n=s.min_length: F.length(e) >= n))
     if s.max_length is not None and isinstance(dtype, StringType):
         if s.max_length == 0:
-            # every element must be the empty string (pure array algebra)
+            # every element must be the empty string (pure array algebra);
+            # over the raw array a null element survives the except, so
+            # this too subsumes the required-field null check
             out.append(F.size(F.array_except(compact, F.array(F.lit("")))) == 0)
+            covers_nulls = covers_nulls or nulls_ruled_out
         else:
             # a line of >= m+1 code points means some element is too long
             out.append(_fused_joined_length_clause(
@@ -350,18 +380,22 @@ def _fused_property_clauses(s: SchemaObject, field_arr: Column,
         if not _PREFIX_LITERAL.match(s.pattern):
             raise FusedUnsupported(f"pattern {s.pattern!r} not fusable")
         prefix = s.pattern[1:]
-        # r6: fully codegen'd hot path via the shared scaffold — the
-        # interpreted per-element HOF branch only runs for rows where an
-        # element embeds a newline (this clause used to inline the
-        # interpreted compact filter 5x per row)
-        out.append(_joined_line_scaffold(
-            field_arr,
-            fast_fn=lambda S, p=prefix: ~F.regexp_like(
-                F.concat(F.lit("\n"), S),
-                F.lit("\n(?!" + re.escape(p) + ")")),
-            slow_fn=lambda cm, p=prefix: F.forall(
-                cm, lambda e: e.startswith(p))))
-    return out
+        # r6 take 2: string-RANGE check, zero lambdas/joins/regexes.
+        # every non-null element starts with prefix p
+        #   <=>  array_min(arr) >= p  AND  array_max(arr) < succ(p)
+        # where succ(p) increments p's last char. Exact because UTF8String
+        # comparison is byte-wise lexicographic and _PREFIX_LITERAL admits
+        # only ASCII (so succ stays single-byte and any string in
+        # [p, succ(p)) must carry p's bytes as its prefix). array_min/max
+        # are codegen'd AND null-skipping, so the compact pass, the
+        # newline-join trick and its embedded-newline slow branch (which
+        # this replaces) all disappear; empty/all-null arrays yield null
+        # min/max -> coalesce(True), the old n_elems==0 branch.
+        succ = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        out.append(
+            F.coalesce(F.array_min(field_arr) >= F.lit(prefix), F.lit(True))
+            & F.coalesce(F.array_max(field_arr) < F.lit(succ), F.lit(True)))
+    return out, covers_nulls
 
 
 def validate_documents_fused(

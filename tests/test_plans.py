@@ -50,20 +50,15 @@ def test_fused_plan_is_codegen_and_python_free(spark, spans_path):
         assert marker not in plan, marker
     # zero exchanges: verdict mode is a pure projection
     assert "Exchange" not in plan
-    # no per-struct lambda predicates: the only lambdas left are the cheap
-    # scalar-array null filters that array_compact desugars to,
-    # the let-binding transform/CASE wrappers (r6: compact and joined are
-    # bound once per row instead of inlined at every reference), and
-    # StartsWith — the guarded newline-edge fallback branch of the fused
-    # pattern clause, lazily evaluated per row
+    # r6 regression guard: ZERO lambdas — every SPAN_SCHEMA clause lowers
+    # to codegen'd array algebra now (the required-kind null filter is
+    # subsumed by the enum array_except over the raw field array, and the
+    # pattern clause is the array_min/array_max string-range check instead
+    # of the newline-join scaffold). HOF lambdas never whole-stage-codegen,
+    # so any lambda reappearing here is an interpreted per-row pass.
     import re
     lams = re.findall(r"lambdafunction\((\w+)", plan)
-    assert lams and set(lams) <= {"isnotnull", "StartsWith", "transform",
-                                  "CASE"}, set(lams)
-    # r6 regression guard: the interpreted null-filter (what array_compact
-    # desugars to) runs at most twice per row for SPAN_SCHEMA — required
-    # kind + the let-bound pattern compact. It used to be inlined 8x.
-    assert lams.count("isnotnull") <= 2, lams
+    assert lams == [], lams
 
 
 def test_fused_verdict_counts_stable(spark, spans_path):
