@@ -69,6 +69,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet spread to default parallelism when the planned
+    scan is narrower (r6, guide §2.5): the table is a single parquet row
+    group at driver scale, so the heavy per-row text operators (regex,
+    n-gram construction, entropy) otherwise serialize map-side on ONE
+    task before their first exchange. No-op at production scale; used
+    only by the queries whose per-row compute dominates — the cheap
+    filter/agg queries keep their zero/one-exchange plans."""
+    from json_schema_lean_spark.parallelism import scale_partitions
+    return scale_partitions(_docs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: validate sf0.001 documents against FLAT_DOC_SCHEMA
     (columnar plan, zero Python per row); return verdicts + violations."""
@@ -119,7 +131,7 @@ def _q_dangling_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs_par(spark, sf_dir)
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -128,7 +140,7 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_quality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs_par(spark, sf_dir)
     return d.select(
         "doc_id",
         F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
@@ -149,7 +161,7 @@ def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     are pinned by crafted-input pytest; the oracle still value-checks
     the full expression pipeline end-to-end.)"""
     from json_schema_lean_spark.operators.text import pii_counts, redact_pii
-    d = _docs(spark, sf_dir)
+    d = _docs_par(spark, sf_dir)
     return d.select(
         "doc_id",
         *pii_counts(F.col("text")),
@@ -178,7 +190,7 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_lean_spark.operators.text import (
         char_entropy, mean_word_length, ngram_repetition_ratio,
         repeated_line_fraction, symbol_word_ratio)
-    d = _docs(spark, sf_dir)
+    d = _docs_par(spark, sf_dir)
     return d.select(
         "doc_id",
         F.round(ngram_repetition_ratio(F.col("text"), 2), 6)
@@ -336,7 +348,7 @@ def _q_q3_building_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_lang_guess_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_lean_spark.operators.text import lang_guess
-    d = _docs(spark, sf_dir)
+    d = _docs_par(spark, sf_dir)
     return (d.select(lang_guess(F.col("text")).alias("guessed"))
              .groupBy("guessed").agg(F.count(F.lit(1)).alias("n")))
 
@@ -428,13 +440,13 @@ def _q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_lean_spark.operators.text import quality_score
-    d = _docs(spark, sf_dir)
+    d = _docs_par(spark, sf_dir)
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
 def _q_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_lean_spark.operators.text import word_ngrams
-    d = _docs(spark, sf_dir)
+    d = _docs_par(spark, sf_dir)
     return (d.select(F.explode(word_ngrams(F.col("text"), 3)).alias("ngram"))
              .groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
              .where(F.col("n") >= 3))
@@ -459,7 +471,7 @@ def _q_drift_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_lean_spark.operators.text import winnow_fingerprint
-    d = _docs(spark, sf_dir)
+    d = _docs_par(spark, sf_dir)
     return d.select("doc_id", winnow_fingerprint(F.col("text")).alias("winnow_fp"))
 
 

@@ -26,6 +26,13 @@ def benchmark_overlap(docs: DataFrame, bench: DataFrame,
     gram at most once (distinct within doc) — the fraction is the share
     of the document's distinct grams that appear anywhere in the
     benchmark, which is partition-insensitive and engine-portable."""
+    # r6: n-gram construction (transform + array_join per gram) is the
+    # dominant per-row cost and evaluates map-side before any exchange;
+    # spread small/unsplittable scans first (guide §2.5 — no-op at
+    # production scale where the corpus arrives in thousands of splits)
+    from ..parallelism import scale_partitions
+    docs = scale_partitions(docs)
+    bench = scale_partitions(bench)
     grams = lambda c: F.array_distinct(word_ngrams(c, n))  # noqa: E731
     bench_grams = (bench.select(
         F.explode(grams(F.col(text_col))).alias("gram")).distinct())

@@ -18,11 +18,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .text import fingerprint, word_ngrams
+from .text import _let, fingerprint, word_ngrams
 
 
 def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Exact duplicate groups on normalized text: (fp, keep_id, n_dups)."""
+    """Exact duplicate groups on normalized text: (fp, keep_id, n_dups).
+
+    r6 negative result: spreading a single-row-group scan with
+    scale_partitions before the fingerprint was MEASURED SLOWER here
+    (0.62 -> 0.90 s at the 50k-row sf1.0 clone): the md5 fingerprint is
+    ~0.3 CPU-s total, far below the cost of the extra full-text exchange,
+    so the groupBy's own exchange stays the only shuffle."""
     return (df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
               .groupBy("fp")
               .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_rows"))
@@ -54,6 +60,13 @@ def minhash_signature(shingles: Column, k: int = 32,
     portable=True swaps xxhash64 for the md5-based portable hash (same
     verdicts, cross-engine reproducible, ~3x slower).
 
+    r6: the ``shingles`` expression is LET-BOUND once per row — it is
+    referenced k times (one transform per salt), and Catalyst inlines
+    every reference into the interpreted HOF lambdas, so the whole n-gram
+    construction (split + per-gram array_join) used to run k=32 times per
+    row (measured 1370 -> ~90 tree-CPU-s on the 50k-doc portable
+    pipeline). Same shingle strings -> identical hashes/signature.
+
     NB: the salt must be closed over via a factory — a default-arg lambda
     would make pyspark treat it as an (element, index) HOF lambda."""
     def salted(i: int):
@@ -61,9 +74,9 @@ def minhash_signature(shingles: Column, k: int = 32,
             return lambda s: portable_hash64(s, f"#{i}")
         return lambda s: F.xxhash64(s, F.lit(i))
 
-    return F.array(*[
-        F.array_min(F.transform(shingles, salted(i))) for i in range(k)
-    ])
+    return _let(shingles, lambda sh: F.array(*[
+        F.array_min(F.transform(sh, salted(i))) for i in range(k)
+    ]))
 
 
 def cap_bucket_rows(banded: DataFrame, bucket_cols: list[str], id_col: str,
@@ -226,7 +239,13 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     rows_per_band = k // bands
     sig = minhash_signature(word_ngrams(F.col(text_col), ngram), k,
                             portable=portable)
-    with_sig = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    # r6: the signature (k salted hashes per shingle — the dominant CPU of
+    # the whole pipeline, ~32 md5s/shingle when portable) evaluates
+    # map-side before the bucket join's exchange; spread a small or
+    # unsplittable scan first (guide §2.5; no-op at production scale)
+    from ..parallelism import scale_partitions
+    with_sig = scale_partitions(df).select(
+        F.col(id_col).alias("_id"), sig.alias("_sig"))
 
     def bucket_of(b: int) -> Column:
         joined = F.array_join(
@@ -245,8 +264,10 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str,
                   id_col: str, ngram: int = 3, round_to: int = 6) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (verification stage)."""
-    grams = docs.select(F.col(id_col).alias("_id"),
-                        F.array_distinct(word_ngrams(F.col(text_col), ngram)).alias("_g"))
+    from ..parallelism import scale_partitions
+    grams = scale_partitions(docs).select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_ngrams(F.col(text_col), ngram)).alias("_g"))
     a = grams.select(F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
     b = grams.select(F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
     j = (df_pairs.join(a, "id_a").join(b, "id_b")
@@ -267,30 +288,42 @@ def simhash64(text: Column, ngram: int = 2, portable: bool = False) -> Column:
     reproduce the exact values."""
     shingles = word_ngrams(text, ngram)
     if portable:
-        hashes = F.transform(shingles, lambda s: portable_hash64(s))
+        hash_expr = F.transform(shingles, lambda s: portable_hash64(s))
     else:
-        hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+        hash_expr = F.transform(shingles, lambda s: F.xxhash64(s))
 
     # NB: default-arg lambdas break pyspark HOFs (the param count makes them
     # look like (element, index) lambdas) — close over via a factory instead
     def bit_set(b: int):
         return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
 
-    bits = []
-    for bit in range(64):
-        ones = F.size(F.filter(hashes, bit_set(bit)))
-        total = F.size(hashes)
-        bits.append(F.when(ones * 2 >= total, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-                     * F.lit(2 ** bit if bit < 63 else -(2 ** 63)).cast("long"))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    # r6: the shingle-hash array is LET-BOUND once per row — it is
+    # referenced 128 times below (a filter + a size per bit), and Catalyst
+    # inlines every reference into the interpreted lambdas, so the n-gram
+    # construction + hashing used to re-run per bit. Identical hash values
+    # -> bit-identical simhash (DuckDB oracles stay green).
+    def majority_bits(hashes: Column) -> Column:
+        bits = []
+        for bit in range(64):
+            ones = F.size(F.filter(hashes, bit_set(bit)))
+            total = F.size(hashes)
+            bits.append(F.when(ones * 2 >= total, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+                        * F.lit(2 ** bit if bit < 63 else -(2 ** 63)).cast("long"))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    return _let(hash_expr, majority_bits)
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str,
                        ngram: int = 2, portable: bool = False) -> DataFrame:
-    """Groups of documents sharing an identical simhash (near-dup bucket)."""
+    """Groups of documents sharing an identical simhash (near-dup bucket).
+    The 64-bit-majority simhash is interpreted HOF work evaluated map-side;
+    spread small/unsplittable scans first (r6, guide §2.5)."""
+    from ..parallelism import scale_partitions
+    df = scale_partitions(df)
     return (df.select(F.col(id_col),
                       simhash64(F.col(text_col), ngram, portable).alias("simhash"))
               .groupBy("simhash")
@@ -324,7 +357,9 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                          "into one bucket (cross-product join)")
     w = bits // bands
     sig = simhash64(F.col(text_col), ngram, portable)
-    base = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    from ..parallelism import scale_partitions
+    base = scale_partitions(df).select(
+        F.col(id_col).alias("_id"), sig.alias("_sig"))
     pairs = _banded_candidate_pairs(
         base,
         lambda i: F.struct(F.lit(i).alias("band"),

@@ -60,7 +60,11 @@ def synth_media_blobs(df: DataFrame, ref_col: str = "media_ref",
     # repeat to the requested size budget (binary concat); the repeated unit
     # is the HEX digest string (64 chars for 256-bit), cast to utf-8 bytes
     reps = max(1, size // 64)
-    return df.withColumn("media_bytes", F.concat(*([blob] * reps)))
+    # r6: blob synthesis + downstream digests are per-row CPU evaluated
+    # map-side; spread small/unsplittable scans first (guide §2.5)
+    from ..parallelism import scale_partitions
+    return scale_partitions(df).withColumn(
+        "media_bytes", F.concat(*([blob] * reps)))
 
 
 def _fake_u32(data: bytes, salt: bytes) -> int:

@@ -116,11 +116,14 @@ def ivf_topk_fixed(corpus: DataFrame, queries: DataFrame, k: int = 5,
         return F.transform(F.slice(F.array_sort(pairs), 1, n),
                            lambda s: s.getField("c"))
 
-    c = corpus.select(
+    from ..parallelism import scale_partitions
+    c = scale_partitions(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"))
     # r6: norms hoisted before the probe join — once per row instead of
-    # once per (probe, query) match; same expressions, bit-identical scores
+    # once per (probe, query) match; same expressions, bit-identical
+    # scores. The quantized centroid-assignment aggregates are map-side
+    # interpreted work, hence the scale_partitions above (guide §2.5).
     c = c.withColumn("_probe",
                      nearest(quantized(F.col("c_vec")), 1)[0]) \
          .withColumn("c_norm", _norm(F.col("c_vec")))
@@ -258,9 +261,11 @@ def ivf_topk(assigned: DataFrame, centroids: list[list[float]],
     q = q.withColumn("q_norm", _norm(F.col("q_vec"))) \
          .withColumn("_probe", F.explode(
              _nearest_centroids(F.col("q_vec"), centroids, nprobe)))
-    c = assigned.select(F.col(id_col).alias("neighbor_id"),
-                        F.col(vec_col).cast("array<double>").alias("c_vec"),
-                        F.col("_cluster").alias("_probe"))
+    from ..parallelism import scale_partitions
+    c = scale_partitions(assigned).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+        F.col("_cluster").alias("_probe"))
     # r6: norms hoisted before the probe join (bit-identical scores)
     c = c.withColumn("c_norm", _norm(F.col("c_vec")))
     scored = (c.join(F.broadcast(q), "_probe")
@@ -354,6 +359,11 @@ def lsh_band_signatures(df: DataFrame, weights: list[list[list[int]]],
     # (computed once per input row, not once per band copy or candidate
     # pair); consumers divide by the carried _norm instead of re-folding —
     # same expression over the same row, so scores are bit-identical
+    # r6: the per-band signature aggregates are interpreted HOF work
+    # evaluated map-side before the bucket join's exchange; spread a
+    # small/unsplittable scan first (guide §2.5, no-op at production scale)
+    from ..parallelism import scale_partitions
+    df = scale_partitions(df)
     return (df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
                       _norm(F.col(vec_col).cast("array<double>"))
                       .alias("_norm"),

@@ -21,6 +21,17 @@ _LANG_MARKERS: dict[str, list[str]] = {
 _STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
 
+def _let(expr: Column, fn) -> Column:
+    """Let-binding inside an expression: evaluate ``expr`` ONCE and pass it
+    to ``fn`` as a real lambda variable. Catalyst inlines every aliased
+    reference and has no common-subexpression reuse for interpreted
+    expressions, so an expression referenced inside a HOF lambda is
+    RE-EVALUATED per element — a sort referenced from a filter lambda
+    becomes O(n² log n) (measured: the first run-length char_entropy did
+    exactly that, 55 -> 165 s). Same trick as plans/fused._let."""
+    return F.get(F.transform(F.array(expr), fn), 0)
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count; empty/blank strings count 0."""
     t = F.trim(text)
@@ -42,11 +53,14 @@ def punct_ratio(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column) -> Column:
-    """Fraction of whitespace tokens that are common English stopwords."""
-    toks = F.split(F.lower(F.trim(text)), "\\s+")
-    n = F.size(toks)
-    stops = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
-    return F.when(n > 0, stops.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    """Fraction of whitespace tokens that are common English stopwords.
+    The token array is let-bound so the split runs once per row (r6)."""
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        stops = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+        return F.when(n > 0, stops.cast("double") / n.cast("double")) \
+                .otherwise(F.lit(0.0))
+    return _let(F.split(F.lower(F.trim(text)), "\\s+"), body)
 
 
 def quality_score(text: Column, round_to: int = 6) -> Column:
@@ -63,24 +77,28 @@ def quality_score(text: Column, round_to: int = 6) -> Column:
 
 def lang_guess(text: Column) -> Column:
     """Stopword-marker language heuristic: most-hit marker set wins;
-    ties and no-hits resolve to 'und'. Pure Column algebra."""
-    toks = F.split(F.lower(F.trim(text)), "\\s+")
-
+    ties and no-hits resolve to 'und'. Pure Column algebra. The token
+    array is let-bound so the split runs once per row instead of once per
+    marker-set reference (r6); the remaining repeated filter passes run
+    over the bound variable (integer/string compares only)."""
     # NB: default-arg lambdas break pyspark HOFs (the param count makes them
     # look like (element, index) lambdas) — close over via a factory instead
     def hits(markers: list[str]):
         return lambda t: t.isin(*markers)
 
-    scores = [
-        (lang, F.size(F.filter(toks, hits(markers))))
-        for lang, markers in _LANG_MARKERS.items()
-    ]
-    best = F.greatest(*[s for _, s in scores])
-    out = F.lit("und")
-    # reverse order => earlier languages win ties deterministically
-    for lang, s in reversed(scores):
-        out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
-    return out
+    def body(toks: Column) -> Column:
+        scores = [
+            (lang, F.size(F.filter(toks, hits(markers))))
+            for lang, markers in _LANG_MARKERS.items()
+        ]
+        best = F.greatest(*[s for _, s in scores])
+        out = F.lit("und")
+        # reverse order => earlier languages win ties deterministically
+        for lang, s in reversed(scores):
+            out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
+        return out
+
+    return _let(F.split(F.lower(F.trim(text)), "\\s+"), body)
 
 
 def fingerprint(text: Column) -> Column:
@@ -92,12 +110,15 @@ def fingerprint(text: Column) -> Column:
 
 def char_ngrams(text: Column, n: int = 5) -> Column:
     """Array of character n-grams of the normalized text (shingles for
-    MinHash/Jaccard)."""
-    norm = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
-    ln = F.length(norm)
-    return F.when(ln < n, F.array(norm)).otherwise(
-        F.transform(F.sequence(F.lit(1), ln - n + 1),
-                    lambda i: norm.substr(i, F.lit(n))))
+    MinHash/Jaccard). The normalized string is let-bound: referenced from
+    the per-gram transform lambda it would otherwise be RE-NORMALIZED
+    (regexp + lower + trim) once per gram (r6)."""
+    def body(norm: Column) -> Column:
+        ln = F.length(norm)
+        return F.when(ln < n, F.array(norm)).otherwise(
+            F.transform(F.sequence(F.lit(1), ln - n + 1),
+                        lambda i: norm.substr(i, F.lit(n))))
+    return _let(F.regexp_replace(F.lower(F.trim(text)), "\\s+", " "), body)
 
 
 def winnow_fingerprint(text: Column, n: int = 5) -> Column:
@@ -111,12 +132,17 @@ def winnow_fingerprint(text: Column, n: int = 5) -> Column:
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Array of word n-gram strings (for n-gram Jaccard near-dup)."""
-    toks = F.split(F.lower(F.trim(text)), "\\s+")
-    cnt = F.size(toks)
-    return F.when(cnt < n, F.array(F.array_join(toks, " "))).otherwise(
-        F.transform(F.sequence(F.lit(0), cnt - n),
-                    lambda i: F.array_join(F.slice(toks, i + 1, n), " ")))
+    """Array of word n-gram strings (for n-gram Jaccard near-dup). The
+    token array is let-bound: referenced from the per-gram transform
+    lambda it would otherwise be RE-SPLIT once per gram — O(tokens²) per
+    row, paid by every n-gram consumer (MinHash, decontamination,
+    Jaccard, the Gopher repetition signal) (r6)."""
+    def body(toks: Column) -> Column:
+        cnt = F.size(toks)
+        return F.when(cnt < n, F.array(F.array_join(toks, " "))).otherwise(
+            F.transform(F.sequence(F.lit(0), cnt - n),
+                        lambda i: F.array_join(F.slice(toks, i + 1, n), " ")))
+    return _let(F.split(F.lower(F.trim(text)), "\\s+"), body)
 
 
 def ngram_repetition_ratio(text: Column, n: int = 2) -> Column:
@@ -124,9 +150,11 @@ def ngram_repetition_ratio(text: Column, n: int = 2) -> Column:
     (Gopher/MassiveText-style repetition filter: high values mark
     boilerplate and degenerate generations). Pure Column expressions on
     :func:`word_ngrams`, so it stays in codegen at scan speed."""
-    grams = word_ngrams(text, n)
-    total = F.size(grams)
-    return (total - F.size(F.array_distinct(grams))) / total
+    # let-bound: three references would otherwise rebuild the gram array
+    # three times per row (r6)
+    return _let(word_ngrams(text, n),
+                lambda g: (F.size(g) - F.size(F.array_distinct(g)))
+                / F.size(g))
 
 
 def mean_word_length(text: Column) -> Column:
@@ -150,9 +178,11 @@ def symbol_word_ratio(text: Column) -> Column:
 def repeated_line_fraction(text: Column) -> Column:
     """Fraction of lines that duplicate an earlier line (boilerplate /
     navigation debris signal); 0 for single-line or blank text."""
-    lines = F.split(text, "\n")
-    total = F.size(lines)
-    return (total - F.size(F.array_distinct(lines))) / total
+    # let-bound: three references would otherwise re-split per row (r6)
+    return _let(F.split(text, "\n"),
+                lambda lines: (F.size(lines)
+                               - F.size(F.array_distinct(lines)))
+                / F.size(lines))
 
 
 # PII patterns: deliberately restricted to syntax that Java regex (Spark),
@@ -189,14 +219,42 @@ def char_entropy(text: Column) -> Column:
     distribution — near-zero flags degenerate repetition, ~log2(alphabet)
     flags random/binary garbage; natural language sits ~3.5-4.5. Pure
     HOF pipeline: H = log2(n) - sum(cnt*log2(cnt))/n over per-distinct-
-    char counts, O(distinct*len) per row — fine for document-sized
-    strings, zero Python, zero shuffle. 0.0 for empty text."""
-    chars = F.split(text, "")
-    n = F.size(chars)
-    counts = F.transform(
-        F.array_distinct(chars),
-        lambda c: F.size(F.filter(chars, lambda x: x == c)))
-    weighted = F.aggregate(
-        counts, F.lit(0.0),
-        lambda acc, cnt: acc + cnt.cast("double") * F.log2(cnt))
-    return F.when(n == 0, F.lit(0.0)).otherwise(F.log2(n) - weighted / n)
+    char counts. Zero Python, zero shuffle. 0.0 for empty text.
+
+    r6: counts come from a sort + run-length fold — O(n log n) per row —
+    instead of the old filter-per-distinct-char shape, which re-evaluated
+    the SPLIT inside the per-distinct filter lambda (Catalyst inlines
+    expressions referenced from lambdas), i.e. O(distinct * n) element ops
+    PLUS a re-split per distinct char: measured 55 tree-CPU-s over the
+    50k-doc sf1.0 table (VERDICT r5 #9). The sorted array and the run
+    boundary list are LET-BOUND (``_let``) so each evaluates once per row
+    — a first draft that referenced the sort from the filter lambda
+    re-sorted per element and measured 165 s; let-binding is load-bearing.
+    The per-distinct (cnt) term SET is identical to the old form; only the
+    float-sum ORDER changes (sorted-char vs first-occurrence), which moves
+    the result by ulps — far below the 6-dp rounding every consumer
+    applies (gopher_quality re-verified against its DuckDB oracle at all
+    3 SFs)."""
+    def on_sorted(srt: Column) -> Column:
+        n = F.size(srt)
+
+        def on_bounds(bounds: Column) -> Column:
+            # run length = next run's start - this start (last ends at n+1)
+            nxt = F.concat(
+                F.slice(bounds, 2, F.greatest(F.size(bounds) - 1, F.lit(0))),
+                F.array(n + 1))
+            counts = F.zip_with(bounds, nxt, lambda a, b: b - a)
+            weighted = F.aggregate(
+                counts, F.lit(0.0),
+                lambda acc, cnt: acc + cnt.cast("double") * F.log2(cnt))
+            return F.when(n == 0, F.lit(0.0)) \
+                    .otherwise(F.log2(n) - weighted / n)
+
+        # 1-based positions where a new run of an identical char starts
+        return _let(
+            F.filter(F.sequence(F.lit(1), n),
+                     lambda i: (i == 1) | (F.element_at(srt, i)
+                                           != F.element_at(srt, i - 1))),
+            on_bounds)
+
+    return _let(F.sort_array(F.split(text, "")), on_sorted)
