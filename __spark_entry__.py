@@ -424,10 +424,19 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_users_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users with BOTH a click and a purchase. r6: one scan +
+    one map-side-combined aggregation instead of ``intersect`` (which
+    scanned events twice and shuffled both raw user_id streams before
+    its distinct; measured 9-10.7 s -> ~0.5 s at the 1M-row sf1.0
+    layout). Identical result set to the INTERSECT oracle: groupBy
+    groups NULL user_ids like INTERSECT matches them (null = null)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    clicks = ev.where(F.col("event_type") == "click").select("user_id")
-    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
-    return clicks.intersect(buys)
+    return (ev.where(F.col("event_type").isin("click", "purchase"))
+              .groupBy("user_id")
+              .agg(F.max(F.col("event_type") == "click").alias("_c"),
+                   F.max(F.col("event_type") == "purchase").alias("_p"))
+              .where(F.col("_c") & F.col("_p"))
+              .select("user_id"))
 
 
 def _q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
